@@ -1,0 +1,89 @@
+"""homomorph_tpu - a TPU-native homomorphic encryption framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+``homomorph`` Rust crate (mathisbot/homomorph-rust): bit-level partially
+homomorphic encryption over GF(2)[X] with XOR/AND/OR/NOT gates, ripple-carry
+adders and wrapping multipliers over all integer widths, typed containers,
+a checked operation framework, and key/byte-format compatibility.
+
+The facade mirrors the reference's crate root + prelude re-exports
+(reference: src/lib.rs:240-255, src/prelude.rs:3-7).
+"""
+
+from .cipher import MAX_DECODE_BYTES, Ciphered, CipheredBit  # noqa: F401
+from .codec import (  # noqa: F401
+    F32,
+    F64,
+    I8,
+    I16,
+    I32,
+    I64,
+    I128,
+    Bool,
+    Isize,
+    U8,
+    U16,
+    U32,
+    U64,
+    U128,
+    Usize,
+    ArrayDescriptor,
+    BytesDescriptor,
+    StructDescriptor,
+    TypeDescriptor,
+    descriptor_for,
+    struct_of,
+)
+from .context import Context  # noqa: F401
+from .keys import PublicKey, SecretKey  # noqa: F401
+from .operations import (  # noqa: F401
+    HomomorphicOperation1,
+    HomomorphicOperation2,
+    HomomorphicOperationN,
+    OperationRequirement,
+)
+from .params import Parameters  # noqa: F401
+from .rng import RandomSource, RecordedSource, ThreefrySource  # noqa: F401
+from .utils.errors import (  # noqa: F401
+    CipherError,
+    ContextCryptoError,
+    DecodeTooLargeError,
+    DeserializeError,
+    HomomorphError,
+    InvalidCipheredLengthError,
+    InvalidParametersError,
+    OperationError,
+    PublicKeyUnsetError,
+    RandomnessError,
+    SecretKeyUnsetError,
+    SerializeError,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Parameters",
+    "Context",
+    "SecretKey",
+    "PublicKey",
+    "Ciphered",
+    "CipheredBit",
+    "MAX_DECODE_BYTES",
+    "HomomorphicOperation1",
+    "HomomorphicOperation2",
+    "HomomorphicOperationN",
+    "OperationRequirement",
+    "RandomSource",
+    "RecordedSource",
+    "ThreefrySource",
+    # codec
+    "TypeDescriptor", "StructDescriptor", "ArrayDescriptor", "BytesDescriptor",
+    "U8", "U16", "U32", "U64", "U128", "Usize",
+    "I8", "I16", "I32", "I64", "I128", "Isize",
+    "Bool", "F32", "F64", "struct_of", "descriptor_for",
+    # errors
+    "HomomorphError", "CipherError", "ContextCryptoError", "OperationError",
+    "RandomnessError", "SerializeError", "DeserializeError",
+    "InvalidCipheredLengthError", "DecodeTooLargeError",
+    "SecretKeyUnsetError", "PublicKeyUnsetError", "InvalidParametersError",
+]

@@ -1,0 +1,367 @@
+"""Bit-level encryption: ``CipheredBit`` and typed ``Ciphered`` containers.
+
+TPU-native re-design of the reference's cipher layer (reference:
+src/cipher.rs).  Semantics parity:
+
+* encrypt one bit ``x``: draw a random subset ``U`` of ``[0, tau)`` and set
+  ``C = (XOR_{i in U} T_i) + x`` (src/cipher.rs:92-115),
+* decrypt: ``(C mod S)(0)`` (src/cipher.rs:117-123),
+* ``Ciphered<T>``: bincode-encode then one ciphered bit per plaintext bit,
+  LSB-first within each byte (src/cipher.rs:175-191); decipher reassembles
+  LSB-first, requires a multiple-of-8 bit count and caps decode at 1 MiB
+  (src/cipher.rs:15, 217-250).
+
+TPU-first redesign:
+
+* The subset XOR-sum is a *parity matmul*: XOR over selected rows equals the
+  per-bit popcount mod 2, so ``C_bits = (sel @ pk_bits) & 1`` where ``sel``
+  is [num_bits, tau] of 0/1 and ``pk_bits`` is the public key's unpacked
+  bit-plane matrix.  One MXU matmul encrypts the whole batch - replacing
+  the reference's per-bit loop of up to tau polynomial XORs
+  (src/cipher.rs:105-111).
+* Decryption uses the per-key reduction mask: one AND + popcount-parity per
+  ciphered bit (see :func:`homomorph_tpu.gf2.poly.decrypt_mask`).
+* Everything is batched: a ``Ciphered`` may carry leading batch dimensions,
+  encrypting/decrypting many values in one device program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import codec as _codec
+from . import rng as _rng
+from .gf2 import poly as gf2
+from .keys import PublicKey, SecretKey
+from .utils.errors import (
+    DecodeTooLargeError,
+    InvalidCipheredLengthError,
+    SerializeError,
+)
+
+__all__ = ["CipheredBit", "Ciphered", "MAX_DECODE_BYTES"]
+
+MAX_DECODE_BYTES = 1 << 20  # src/cipher.rs:15
+
+
+# --------------------------------------------------------------------------
+# Jitted device cores
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _encrypt_core(
+    sel: jax.Array, pk_bits: jax.Array, plain_bits: jax.Array, out_limbs: int
+) -> jax.Array:
+    """Parity-matmul encryption.
+
+    ``sel``: [..., tau] subset indicators (uint8/bool);
+    ``pk_bits``: [tau, D] bf16 bit planes; ``plain_bits``: [...] 0/1.
+    Returns packed ciphertext limbs [..., out_limbs].
+    """
+    counts = jnp.matmul(
+        sel.astype(jnp.bfloat16), pk_bits, preferred_element_type=jnp.float32
+    )
+    bits = (counts.astype(jnp.int32) & 1).astype(jnp.uint8)
+    limbs = gf2.pack_bits(bits)
+    limbs = gf2.pad_limbs(limbs, out_limbs)
+    return gf2.xor_const_bit(limbs, plain_bits.astype(jnp.uint32))
+
+
+@jax.jit
+def _decrypt_core(limbs: jax.Array, w: jax.Array) -> jax.Array:
+    """Masked popcount-parity decryption: [..., L] -> [...] bits."""
+    return gf2.decipher_bits(limbs, w)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _random_selection(key: jax.Array, shape: tuple[int, ...], tau: int) -> jax.Array:
+    """Device-side subset indicators [*shape, tau] (production path)."""
+    words = jax.random.bits(key, shape + (-(-tau // 32),), dtype=jnp.uint32)
+    return gf2.unpack_bits(words, tau)
+
+
+# --------------------------------------------------------------------------
+# CipheredBit
+# --------------------------------------------------------------------------
+
+
+class CipheredBit:
+    """One encrypted bit - a GF(2) polynomial (reference: src/cipher.rs:26-123).
+
+    May carry leading batch dimensions: ``limbs`` has shape [*batch, L].
+    ``bound`` is the static degree-class bound (replaces the reference's
+    dynamic per-polynomial ``degree`` field for shape purposes; the exact
+    degree is available via :meth:`degree`).
+    """
+
+    __slots__ = ("limbs", "bound")
+
+    def __init__(self, limbs: jax.Array, bound: int):
+        self.limbs = limbs
+        self.bound = int(bound)
+
+    # -- trivial ciphertexts (src/cipher.rs:33-51) --------------------------
+
+    @classmethod
+    def zero(cls, batch: tuple[int, ...] = ()) -> "CipheredBit":
+        return cls(gf2.null(1, batch), 0)
+
+    @classmethod
+    def one(cls, batch: tuple[int, ...] = ()) -> "CipheredBit":
+        m = gf2.monomial(0)
+        if batch:
+            m = jnp.broadcast_to(m, batch + (1,))
+        return cls(m, 0)
+
+    # -- gates (src/cipher.rs:53-90) ----------------------------------------
+
+    def xor(self, other: "CipheredBit") -> "CipheredBit":
+        return CipheredBit(gf2.xor(self.limbs, other.limbs), max(self.bound, other.bound))
+
+    def and_(self, other: "CipheredBit") -> "CipheredBit":
+        return CipheredBit(
+            gf2.clmul_chunked(self.limbs, other.limbs), self.bound + other.bound
+        )
+
+    def or_(self, other: "CipheredBit") -> "CipheredBit":
+        # a + b + a*b (src/cipher.rs:71-81)
+        return self.xor(other).xor(self.and_(other))
+
+    def not_(self) -> "CipheredBit":
+        # xor with the unit polynomial (src/cipher.rs:83-90)
+        return CipheredBit(gf2.xor_const_bit(self.limbs, 1), self.bound)
+
+    # alias matching the reference's method names
+    __xor__ = xor
+    __and__ = and_
+    __or__ = or_
+    __invert__ = not_
+
+    # -- accessors -----------------------------------------------------------
+
+    @property
+    def batch_shape(self) -> tuple[int, ...]:
+        return self.limbs.shape[:-1]
+
+    @property
+    def num_limbs(self) -> int:
+        return self.limbs.shape[-1]
+
+    def degree(self) -> jax.Array:
+        return gf2.compute_degree(self.limbs)
+
+    def decipher(self, sk: SecretKey) -> jax.Array:
+        """Decrypt to 0/1 (src/cipher.rs:117-123) via the reduction mask."""
+        return _decrypt_core(self.limbs, sk.decrypt_mask(self.num_limbs))
+
+    def pad_to(self, num_limbs: int) -> "CipheredBit":
+        return CipheredBit(gf2.pad_limbs(self.limbs, num_limbs), self.bound)
+
+    def __repr__(self) -> str:
+        return f"CipheredBit(batch={self.batch_shape}, L={self.num_limbs}, bound={self.bound})"
+
+
+# --------------------------------------------------------------------------
+# Ciphered
+# --------------------------------------------------------------------------
+
+
+class Ciphered:
+    """Typed container of ciphered bits (reference: src/cipher.rs:125-259).
+
+    ``limbs``: [*batch, n_bits, L] uint32; lane ``i`` is plaintext bit ``i``
+    (LSB-first within each serialized byte, src/cipher.rs:180-185).
+    ``desc``: the plaintext :class:`~homomorph_tpu.codec.TypeDescriptor`.
+    ``bound``: static degree bound shared by all lanes.
+    """
+
+    __slots__ = ("limbs", "bound", "desc")
+
+    def __init__(self, limbs: jax.Array, bound: int, desc: _codec.TypeDescriptor):
+        if limbs.ndim < 2:
+            raise ValueError("Ciphered limbs must be at least [n_bits, L]")
+        self.limbs = limbs
+        self.bound = int(bound)
+        self.desc = desc
+
+    # -- construction --------------------------------------------------------
+
+    @classmethod
+    def cipher(
+        cls,
+        data: Any,
+        pk: PublicKey,
+        desc: _codec.TypeDescriptor | None = None,
+        *,
+        key: jax.Array | None = None,
+        source: _rng.RandomSource | None = None,
+        batch: bool = False,
+    ) -> "Ciphered":
+        """Encrypt ``data`` (reference: src/cipher.rs:153-191).
+
+        Exactly one randomness mode:
+
+        * ``key``  - a ``jax.random`` key; subset bits are generated on
+          device (production fast path, fully jitted).
+        * ``source`` - a host :class:`~homomorph_tpu.rng.RandomSource`;
+          bytes are consumed per bit in the reference's exact order
+          (``ceil(tau/8)`` bytes each, src/cipher.rs:92-97) for bit-exact
+          replay.
+
+        With ``batch=True``, ``data`` is a sequence of values encrypted as
+        one leading batch dimension.
+        """
+        if (key is None) == (source is None):
+            raise ValueError("pass exactly one of key= or source=")
+        values = list(data) if batch else [data]
+        if desc is None:
+            desc = _codec.descriptor_for(values[0])
+
+        try:
+            payload = b"".join(desc.encode(v) for v in values)
+        except SerializeError:
+            raise
+        n_bits = desc.num_bits
+        all_bits = np.unpackbits(
+            np.frombuffer(payload, dtype=np.uint8), bitorder="little"
+        ).reshape(len(values), n_bits)
+
+        tau = pk.tau
+        shape = (len(values), n_bits)
+        if key is not None:
+            sel = _random_selection(key, shape, tau)
+        else:
+            sel_host = np.empty(shape + (tau,), dtype=np.uint8)
+            for v in range(len(values)):
+                for i in range(n_bits):
+                    sel_host[v, i] = _rng.random_selection_bits(source, tau)
+            sel = jnp.asarray(sel_host)
+
+        bound = pk.max_degree
+        L = gf2.limbs_for(bound)
+        limbs = _encrypt_core(sel, pk.bit_planes(), jnp.asarray(all_bits), L)
+        if not batch:
+            limbs = limbs[0]
+        return cls(limbs, bound, desc)
+
+    try_cipher = cipher  # error surface is exceptions either way
+
+    @classmethod
+    def new_from_raw(
+        cls, bits: "Sequence[CipheredBit] | jax.Array", desc: _codec.TypeDescriptor,
+        bound: int | None = None,
+    ) -> "Ciphered":
+        """Assemble from raw ciphered bits (reference: src/cipher.rs:133-151).
+
+        The caller vouches that the bits are valid ciphertexts; this is the
+        extension surface for custom operations (examples/simple_struct.rs).
+        Accepts a list of :class:`CipheredBit` lanes (padded to the max
+        degree class and stacked) or a pre-stacked limb tensor.
+        """
+        if isinstance(bits, (list, tuple)):
+            L = max(b.num_limbs for b in bits)
+            stacked = jnp.stack([b.pad_to(L).limbs for b in bits], axis=-2)
+            bnd = max(b.bound for b in bits) if bound is None else bound
+            return cls(stacked, bnd, desc)
+        if bound is None:
+            raise ValueError("bound= is required when passing a raw limb tensor")
+        return cls(bits, bound, desc)
+
+    # -- decryption ----------------------------------------------------------
+
+    def decipher(self, sk: SecretKey) -> Any:
+        """Decrypt and decode (reference: src/cipher.rs:193-250)."""
+        n = len(self)
+        if n % 8 != 0:
+            raise InvalidCipheredLengthError(n)
+        n_bytes = n // 8
+        if n_bytes > MAX_DECODE_BYTES:
+            raise DecodeTooLargeError(n_bytes, MAX_DECODE_BYTES)
+        bits = _decrypt_core(self.limbs, sk.decrypt_mask(self.num_limbs))
+        host = np.asarray(jax.device_get(bits), dtype=np.uint8)
+        flat = host.reshape(-1, n)
+        data = np.packbits(flat, axis=-1, bitorder="little")
+        values = [self.desc.decode(row.tobytes()) for row in data]
+        if self.batch_shape == ():
+            return values[0]
+        out = np.empty(len(values), dtype=object)
+        out[:] = values
+        return out.reshape(self.batch_shape)
+
+    try_decipher = decipher
+
+    def decipher_bits(self, sk: SecretKey) -> np.ndarray:
+        """Decrypt to raw plaintext bits [*batch, n_bits] without decoding."""
+        bits = _decrypt_core(self.limbs, sk.decrypt_mask(self.num_limbs))
+        return np.asarray(jax.device_get(bits), dtype=np.uint8)
+
+    # -- bit-lane surface (Deref<[CipheredBit]> analogue) --------------------
+
+    @property
+    def batch_shape(self) -> tuple[int, ...]:
+        return self.limbs.shape[:-2]
+
+    @property
+    def num_limbs(self) -> int:
+        return self.limbs.shape[-1]
+
+    def __len__(self) -> int:
+        return self.limbs.shape[-2]
+
+    def __getitem__(self, i: int) -> CipheredBit:
+        return CipheredBit(self.limbs[..., i, :], self.bound)
+
+    def bits(self) -> list[CipheredBit]:
+        return [self[i] for i in range(len(self))]
+
+    def split_at(self, mid: int) -> tuple[list[CipheredBit], list[CipheredBit]]:
+        """Split the bit-lane slice (the examples' field-extraction idiom,
+        examples/simple_struct.rs:32-43)."""
+        bs = self.bits()
+        return bs[:mid], bs[mid:]
+
+    def reinterpret(self, desc: _codec.TypeDescriptor) -> "Ciphered":
+        """View the same lanes as a different plaintext type."""
+        if desc.num_bits != len(self):
+            raise ValueError(
+                f"{desc!r} needs {desc.num_bits} lanes, have {len(self)}"
+            )
+        return Ciphered(self.limbs, self.bound, desc)
+
+    # -- ciphertext serialization (gap in the reference; added here) ---------
+
+    def to_bytes(self) -> bytes:
+        """Serialize ciphertext: u32 header (n_bits, L, bound, batch rank +
+        dims) then LE limbs.  The reference has no ciphertext serializer
+        (noted gap - SURVEY §5.4); the polynomial byte format matches
+        src/polynomial.rs:98-105."""
+        host = np.asarray(jax.device_get(self.limbs), dtype=np.uint32)
+        bshape = self.batch_shape
+        header = np.array(
+            [len(self), self.num_limbs, self.bound, len(bshape), *bshape],
+            dtype="<u4",
+        )
+        return header.tobytes() + host.astype("<u4").tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, desc: _codec.TypeDescriptor) -> "Ciphered":
+        head = np.frombuffer(data[:16], dtype="<u4")
+        n_bits, L, bound, rank = (int(x) for x in head)
+        bshape = tuple(
+            int(x) for x in np.frombuffer(data[16 : 16 + 4 * rank], dtype="<u4")
+        )
+        body = np.frombuffer(data[16 + 4 * rank :], dtype="<u4").astype(np.uint32)
+        limbs = jnp.asarray(body.reshape(*bshape, n_bits, L))
+        return cls(limbs, bound, desc)
+
+    def __repr__(self) -> str:
+        return (
+            f"Ciphered<{self.desc.name}>(batch={self.batch_shape}, "
+            f"n_bits={len(self)}, L={self.num_limbs}, bound={self.bound})"
+        )

@@ -1,0 +1,141 @@
+"""The cipher context: parameters + keys + the safe checked API.
+
+Mirrors the reference's ``Context`` (reference: src/context.rs:300-596):
+
+* key generation (``generate_secret_key`` clears the public key,
+  src/context.rs:421-424; ``generate_public_key`` fails without a secret
+  key, src/context.rs:444-454),
+* explicit key set/get (``set_secret_key`` clears the public key,
+  src/context.rs:568-571),
+* ``encrypt``/``decrypt`` convenience (src/context.rs:463-488),
+* the checked operation API ``apply1/apply2/apply_n`` gated by
+  ``validate_operation`` (``d >= MIN_D_OVER_DELTA * delta`` computed in
+  wide integers, src/context.rs:310-323, 496-546).
+
+Randomness: the context owns a :class:`~homomorph_tpu.rng.RandomSource`
+(production default: :class:`~homomorph_tpu.rng.ThreefrySource`) for key
+generation, and a ``jax.random`` key chain for the fully-jitted batched
+encryption path.  A recorded source can be injected for bit-exact replay.
+"""
+
+from __future__ import annotations
+
+import secrets
+from typing import Any, Sequence, Type
+
+import jax
+import numpy as np
+
+from . import codec as _codec
+from . import keys as _keys
+from . import rng as _rng
+from .cipher import Ciphered
+from .operations import OperationRequirement
+from .params import Parameters
+from .utils.errors import (
+    InvalidParametersError,
+    PublicKeyUnsetError,
+    SecretKeyUnsetError,
+)
+
+__all__ = ["Context"]
+
+
+class Context:
+    def __init__(
+        self,
+        parameters: Parameters,
+        *,
+        source: _rng.RandomSource | None = None,
+        encrypt_seed: int | None = None,
+    ):
+        self._parameters = parameters
+        self._secret_key: _keys.SecretKey | None = None
+        self._public_key: _keys.PublicKey | None = None
+        self._source = source if source is not None else _rng.ThreefrySource(
+            secrets.randbits(63)
+        )
+        self._enc_key = jax.random.key(
+            encrypt_seed if encrypt_seed is not None else secrets.randbits(63)
+        )
+        self._use_source_for_encrypt = source is not None
+
+    # -- accessors (src/context.rs:353-402) ----------------------------------
+
+    @property
+    def parameters(self) -> Parameters:
+        return self._parameters
+
+    def get_secret_key(self) -> _keys.SecretKey | None:
+        return self._secret_key
+
+    def get_public_key(self) -> _keys.PublicKey | None:
+        return self._public_key
+
+    # -- key generation (src/context.rs:404-454) -----------------------------
+
+    def generate_secret_key(self) -> None:
+        """Generate a fresh secret key; clears any public key
+        (src/context.rs:421-424)."""
+        self._secret_key = _keys.generate_secret_key(self._parameters, self._source)
+        self._public_key = None
+
+    def generate_public_key(self) -> None:
+        """Generate the public key from the secret key; raises
+        :class:`SecretKeyUnsetError` if none (src/context.rs:444-454)."""
+        if self._secret_key is None:
+            raise SecretKeyUnsetError("Secret key not generated yet")
+        self._public_key = _keys.generate_public_key(
+            self._parameters, self._secret_key, self._source
+        )
+
+    def set_secret_key(self, sk: _keys.SecretKey) -> None:
+        """Explicitly set the secret key; clears the public key
+        (src/context.rs:568-571)."""
+        self._secret_key = sk
+        self._public_key = None
+
+    def set_public_key(self, pk: _keys.PublicKey) -> None:
+        self._public_key = pk
+
+    # -- encrypt / decrypt (src/context.rs:456-488) --------------------------
+
+    def encrypt(
+        self,
+        data: Any,
+        desc: _codec.TypeDescriptor | None = None,
+        *,
+        batch: bool = False,
+    ) -> Ciphered:
+        if self._public_key is None:
+            raise PublicKeyUnsetError("Public key not generated yet")
+        if self._use_source_for_encrypt:
+            return Ciphered.cipher(
+                data, self._public_key, desc, source=self._source, batch=batch
+            )
+        self._enc_key, sub = jax.random.split(self._enc_key)
+        return Ciphered.cipher(data, self._public_key, desc, key=sub, batch=batch)
+
+    def decrypt(self, ciphered: Ciphered) -> Any:
+        if self._secret_key is None:
+            raise SecretKeyUnsetError("Secret key not generated yet")
+        return ciphered.decipher(self._secret_key)
+
+    # -- checked operation API (src/context.rs:308-323, 490-546) -------------
+
+    def validate_operation(self, op: Type[OperationRequirement]) -> None:
+        d, delta = self._parameters.d, self._parameters.delta
+        if d < op.MIN_D_OVER_DELTA * delta:
+            raise InvalidParametersError(op.MIN_D_OVER_DELTA, d, delta)
+
+    def apply1(self, op, a: Ciphered) -> Ciphered:
+        self.validate_operation(op)
+        return op.unsafe_apply(a)
+
+    def apply2(self, op, a: Ciphered, b: Ciphered) -> Ciphered:
+        self.validate_operation(op)
+        return op.unsafe_apply(a, b)
+
+    def apply_n(self, op, args: Sequence[Ciphered]) -> Ciphered:
+        self.validate_operation(op)
+        return op.unsafe_apply(args)

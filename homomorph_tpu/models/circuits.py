@@ -1,0 +1,207 @@
+"""Homomorphic boolean circuits over ciphered bit-lanes.
+
+TPU-native re-design of the reference's circuit library (reference:
+src/impls/numbers/common.rs).  Structural parity with the reference's
+gate-for-gate semantics (so ``d/delta`` requirements carry over), but
+vectorized TPU-first:
+
+* Whole-tensor gates: XOR/AND/OR/NOT act on ALL bit lanes of a ``Ciphered``
+  in one batched device op (the reference zips lane-by-lane,
+  common.rs:5-35).
+* The ripple-carry adder (common.rs:37-56) precomputes the ``a XOR b`` and
+  ``a AND b`` lane tensors once, leaving only the inherently sequential
+  carry recurrence - 2 batched carry-less multiplies per bit position,
+  batched over any leading dims.
+* The multipliers (common.rs:66-163) keep the reference's exact
+  partial-product + carry bookkeeping (including the Baugh-Wooley sign
+  corrections for signed mul, common.rs:124-126) with per-lane degree-class
+  tracking.
+
+Degree-class math: a fresh ciphered bit has degree bound ``B0 = d + dp``;
+AND adds bounds.  The adder's carry bound grows by ``3*B0`` per bit
+position, so lane ``i`` of a sum has bound ``<= 3*i*B0`` - this drives the
+static limb shapes and is why "decipher after add" costs more than fresh
+decipher (reference benches/u32.rs:44-49).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from ..cipher import Ciphered, CipheredBit
+from ..gf2 import poly as gf2
+
+__all__ = [
+    "gate_and",
+    "gate_or",
+    "gate_xor",
+    "gate_not",
+    "add",
+    "add_lanes",
+    "mul_unsigned",
+    "mul_unsigned_lanes",
+    "mul_signed",
+    "mul_signed_lanes",
+]
+
+
+# --------------------------------------------------------------------------
+# Whole-tensor gates (common.rs:5-35)
+# --------------------------------------------------------------------------
+
+
+def gate_xor(a: Ciphered, b: Ciphered) -> Ciphered:
+    return Ciphered(
+        gf2.xor(a.limbs, b.limbs), max(a.bound, b.bound), a.desc
+    )
+
+
+def gate_and(a: Ciphered, b: Ciphered) -> Ciphered:
+    return Ciphered(
+        gf2.clmul_chunked(a.limbs, b.limbs), a.bound + b.bound, a.desc
+    )
+
+
+def gate_or(a: Ciphered, b: Ciphered) -> Ciphered:
+    x = gf2.xor(a.limbs, b.limbs)
+    m = gf2.clmul_chunked(a.limbs, b.limbs)
+    return Ciphered(gf2.xor(x, m), a.bound + b.bound, a.desc)
+
+
+def gate_not(a: Ciphered) -> Ciphered:
+    return Ciphered(gf2.xor_const_bit(a.limbs, 1), a.bound, a.desc)
+
+
+# --------------------------------------------------------------------------
+# Ripple-carry adder (common.rs:37-64)
+# --------------------------------------------------------------------------
+
+
+def add_lanes(a: Sequence[CipheredBit], b: Sequence[CipheredBit]) -> list[CipheredBit]:
+    """Wrap-around ripple-carry sum of equal-length lane lists.
+
+    Per-bit recurrence (common.rs:43-53):
+      ``s_i = a_i ^ b_i ^ c``;
+      ``t = (a_i ^ b_i) & c``; ``c' = t ^ (a_i & b_i & (t ^ 1))``.
+    The final carry is dropped (wrapping semantics, common.rs:47-49).
+    """
+    n = min(len(a), len(b))
+    xs = [a[i].xor(b[i]) for i in range(n)]
+    gs = [a[i].and_(b[i]) for i in range(n)]
+    carry = CipheredBit.zero(a[0].batch_shape if n else ())
+    out: list[CipheredBit] = []
+    for i in range(n):
+        out.append(xs[i].xor(carry))
+        if i + 1 >= n:
+            break
+        t = xs[i].and_(carry)
+        carry = t.xor(gs[i].and_(t.not_()))
+    return out
+
+
+def add(a: Ciphered, b: Ciphered) -> Ciphered:
+    """Homomorphic addition; output length = ``len(a)`` (common.rs:58-64).
+
+    The lane-parallel prework (all ``a_i ^ b_i`` and ``a_i & b_i``) runs as
+    two whole-tensor ops; only the carry chain is sequential.
+    """
+    x_all = gate_xor(a, b)
+    g_all = gate_and(a, b)
+    n = len(a)
+    xs = [x_all[i] for i in range(n)]
+    gs = [g_all[i] for i in range(n)]
+    carry = CipheredBit.zero(a.batch_shape)
+    out: list[CipheredBit] = []
+    for i in range(n):
+        out.append(xs[i].xor(carry))
+        if i + 1 >= n:
+            break
+        t = xs[i].and_(carry)
+        carry = t.xor(gs[i].and_(t.not_()))
+    return Ciphered.new_from_raw(out, a.desc)
+
+
+# --------------------------------------------------------------------------
+# Multipliers (common.rs:66-163)
+# --------------------------------------------------------------------------
+
+
+def _mul_accumulate(
+    pp: list[list[CipheredBit]], length: int, batch: tuple[int, ...]
+) -> list[CipheredBit]:
+    """Column accumulation with AND-carry bookkeeping (common.rs:76-102).
+
+    For column ``i``: XOR in the anti-diagonal partial products, pushing
+    ``pp & old_accumulator`` carries for column ``i+1``; then XOR in the
+    ``i*(i+1)/2`` carries produced by column ``i-1``, pushing their own
+    second-order carries.  Overflow columns are dropped (wrapping,
+    common.rs:67).
+    """
+    result = [CipheredBit.zero(batch) for _ in range(length)]
+    carries: list[CipheredBit] = []
+    offset = 0
+    for i in range(length):
+        current_length = i * (i + 1) // 2
+        for j in range(i + 1):
+            p = pp[j][i - j]
+            if i + 1 < length:
+                carries.append(p.and_(result[i]))
+            result[i] = result[i].xor(p)
+        for j in range(current_length):
+            if i + 1 < length:
+                carries.append(result[i].and_(carries[offset + j]))
+            result[i] = result[i].xor(carries[offset + j])
+        offset += current_length
+    return result
+
+
+def mul_unsigned_lanes(
+    a: Sequence[CipheredBit], b: Sequence[CipheredBit]
+) -> list[CipheredBit]:
+    """Wrapping unsigned product of equal-length lane lists (common.rs:66-105)."""
+    length = len(a)
+    pp = [[a[i].and_(b[j]) for j in range(length)] for i in range(length)]
+    batch = a[0].batch_shape if length else ()
+    return _mul_accumulate(pp, length, batch)
+
+
+def _pp_tensor(a: Ciphered, b: Ciphered) -> list[list[CipheredBit]]:
+    """All n*n partial products in ONE batched carry-less multiply
+    (broadcast over the two lane axes), then sliced into lanes."""
+    prod = gf2.clmul_chunked(a.limbs[..., :, None, :], b.limbs[..., None, :, :])
+    bound = a.bound + b.bound
+    n = len(a)
+    return [
+        [CipheredBit(prod[..., i, j, :], bound) for j in range(n)] for i in range(n)
+    ]
+
+
+def mul_unsigned(a: Ciphered, b: Ciphered) -> Ciphered:
+    pp = _pp_tensor(a, b)
+    return Ciphered.new_from_raw(
+        _mul_accumulate(pp, len(a), a.batch_shape), a.desc
+    )
+
+
+def mul_signed_lanes(
+    a: Sequence[CipheredBit], b: Sequence[CipheredBit]
+) -> list[CipheredBit]:
+    """Wrapping signed (two's-complement) product: same accumulation with
+    Baugh-Wooley sign corrections - XOR constant 1 into ``pp[0][n-1]`` and
+    ``pp[n-1][0]`` before accumulation (common.rs:115-155)."""
+    length = len(a)
+    pp = [[a[i].and_(b[j]) for j in range(length)] for i in range(length)]
+    pp[0][length - 1] = pp[0][length - 1].not_()
+    pp[length - 1][0] = pp[length - 1][0].not_()
+    batch = a[0].batch_shape if length else ()
+    return _mul_accumulate(pp, length, batch)
+
+
+def mul_signed(a: Ciphered, b: Ciphered) -> Ciphered:
+    pp = _pp_tensor(a, b)
+    n = len(a)
+    pp[0][n - 1] = pp[0][n - 1].not_()
+    pp[n - 1][0] = pp[n - 1][0].not_()
+    return Ciphered.new_from_raw(
+        _mul_accumulate(pp, n, a.batch_shape), a.desc
+    )

@@ -1,0 +1,73 @@
+"""Operation framework: traits for user-defined homomorphic operations.
+
+Mirrors the reference's operation layer (reference: src/operations.rs):
+
+* :class:`HomomorphicOperation1` / :class:`HomomorphicOperation2` /
+  :class:`HomomorphicOperationN` - the raw ``apply`` surface
+  (src/operations.rs:73-82, 132-141, 204-213).  In the reference these are
+  ``unsafe``; here the same contract is expressed by the ``unsafe_apply``
+  naming: callers of ``unsafe_apply`` vouch that the ciphering parameters
+  satisfy the operation's ``MIN_D_OVER_DELTA`` requirement.  The safe
+  checked entry points live on :class:`~homomorph_tpu.context.Context`
+  (``apply1/apply2/apply_n``), which validate first
+  (src/context.rs:310-323, 496-546).
+* :class:`OperationRequirement` - the ``MIN_D_OVER_DELTA`` metadata
+  consumed by the checked API (src/operations.rs:24-27).
+"""
+
+from __future__ import annotations
+
+from typing import Any, ClassVar, Sequence
+
+from .cipher import Ciphered
+from .utils.errors import InvalidParametersError, OperationError  # noqa: F401
+
+__all__ = [
+    "OperationRequirement",
+    "HomomorphicOperation1",
+    "HomomorphicOperation2",
+    "HomomorphicOperationN",
+    "OperationError",
+    "InvalidParametersError",
+]
+
+
+class OperationRequirement:
+    """Metadata: minimum required ``d / delta`` ratio.
+
+    An operation of boolean degree ``D`` is correct iff ``d/delta >= D``
+    (reference README.md:157-162); implementors declare that bound here
+    (src/operations.rs:24-27).
+    """
+
+    MIN_D_OVER_DELTA: ClassVar[int] = 1
+
+
+class HomomorphicOperation1(OperationRequirement):
+    """Unary operation on one ciphered value (src/operations.rs:73-82)."""
+
+    @staticmethod
+    def unsafe_apply(a: Ciphered) -> Ciphered:
+        """Caller vouches the cipher-time ``d/delta`` meets
+        ``MIN_D_OVER_DELTA``; prefer ``Context.apply1``."""
+        raise NotImplementedError
+
+
+class HomomorphicOperation2(OperationRequirement):
+    """Binary operation on two ciphered values (src/operations.rs:132-141)."""
+
+    @staticmethod
+    def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
+        """Caller vouches the cipher-time ``d/delta`` meets
+        ``MIN_D_OVER_DELTA``; prefer ``Context.apply2``."""
+        raise NotImplementedError
+
+
+class HomomorphicOperationN(OperationRequirement):
+    """N-ary operation on ciphered values (src/operations.rs:204-213)."""
+
+    @staticmethod
+    def unsafe_apply(args: Sequence[Ciphered]) -> Ciphered:
+        """Caller vouches the cipher-time ``d/delta`` meets
+        ``MIN_D_OVER_DELTA``; prefer ``Context.apply_n``."""
+        raise NotImplementedError

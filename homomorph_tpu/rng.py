@@ -1,0 +1,113 @@
+"""Randomness sources.
+
+The reference draws raw bytes from the OS CSPRNG at exactly two places:
+polynomial generation (reference: src/polynomial.rs:87) and the per-bit
+subset draw during encryption (reference: src/cipher.rs:92-97).  It has no
+seeding seam, so bit-exact replay against the reference requires injecting a
+recorded byte stream.  This module provides that seam:
+
+* :class:`ThreefrySource` - production CSPRNG driven by ``jax.random``
+  (counter-based threefry; deterministic given the seed).
+* :class:`RecordedSource` - replays a byte stream verbatim, consuming bytes
+  in the exact order and quantity the reference implementation would
+  (64-bit-word granularity for polynomials, ``ceil(tau/8)`` bytes per
+  encrypted bit).
+
+Byte-consumption contract (must mirror the reference exactly so that a
+stream recorded from it replays bit-identically):
+
+* ``random_poly_limbs(degree)`` consumes ``(degree // 64 + 1) * 8`` bytes -
+  the reference allocates ``degree/64 + 1`` 64-bit words and fills them all
+  (src/polynomial.rs:74-87), then masks bits above ``degree`` and forces the
+  degree bit (src/polynomial.rs:89-90).
+* ``random_selection_bits(tau)`` consumes ``ceil(tau / 8)`` bytes; bit ``i``
+  of the subset is bit ``i % 8`` of byte ``i / 8`` (src/cipher.rs:105-107).
+"""
+
+from __future__ import annotations
+
+import abc
+
+import numpy as np
+
+from .utils.errors import RandomnessError
+
+LIMB_BITS = 32
+
+
+class RandomSource(abc.ABC):
+    """Abstract byte-stream randomness source (host side)."""
+
+    @abc.abstractmethod
+    def draw_bytes(self, n: int) -> np.ndarray:
+        """Return ``n`` random bytes as a uint8 array."""
+
+
+class ThreefrySource(RandomSource):
+    """Deterministic counter-based source built on ``jax.random``."""
+
+    def __init__(self, seed: int):
+        import jax
+
+        self._key = jax.random.key(seed)
+
+    def draw_bytes(self, n: int) -> np.ndarray:
+        import jax
+
+        self._key, sub = jax.random.split(self._key)
+        words = jax.random.bits(sub, ((n + 3) // 4,), dtype=np.uint32)
+        return np.asarray(words).view(np.uint8)[:n].copy()
+
+
+class RecordedSource(RandomSource):
+    """Replays a pre-recorded byte stream; raises when exhausted."""
+
+    def __init__(self, data: bytes | np.ndarray):
+        self._data = np.frombuffer(bytes(data), dtype=np.uint8)
+        self._pos = 0
+
+    @property
+    def remaining(self) -> int:
+        return len(self._data) - self._pos
+
+    def draw_bytes(self, n: int) -> np.ndarray:
+        if self._pos + n > len(self._data):
+            raise RandomnessError(
+                f"recorded stream exhausted: need {n} bytes, have {self.remaining}"
+            )
+        out = self._data[self._pos : self._pos + n]
+        self._pos += n
+        return out
+
+
+def bytes_to_limbs(raw: np.ndarray, num_limbs: int) -> np.ndarray:
+    """Little-endian bytes -> uint32 limbs, zero-padded to ``num_limbs``."""
+    buf = np.zeros(num_limbs * 4, dtype=np.uint8)
+    buf[: min(len(raw), len(buf))] = raw[: len(buf)]
+    return buf.view("<u4").astype(np.uint32)
+
+
+def random_poly_limbs(source: RandomSource, degree: int) -> np.ndarray:
+    """Uniform polynomial of *exact* degree ``degree``, bit-packed uint32.
+
+    Mirrors the reference generator: fill ``degree//64 + 1`` 64-bit words,
+    mask bits above ``degree``, force bit ``degree`` to 1 (monic, exact
+    degree; src/polynomial.rs:73-96).  Returns ``degree//32 + 1`` limbs.
+    """
+    n_words64 = degree // 64 + 1
+    raw = source.draw_bytes(n_words64 * 8)
+    num_limbs = degree // LIMB_BITS + 1
+    limbs = bytes_to_limbs(raw, num_limbs)
+    # Mask everything above bit `degree`, then force bit `degree`.
+    top = degree % LIMB_BITS
+    mask = np.uint32((1 << top) - 1)
+    limbs[-1] &= mask
+    limbs[-1] |= np.uint32(1 << top)
+    return limbs
+
+
+def random_selection_bits(source: RandomSource, tau: int) -> np.ndarray:
+    """Random subset indicator of size ``tau`` (uint8 0/1), LSB-first bytes."""
+    raw = source.draw_bytes((tau + 7) // 8)
+    bits = np.unpackbits(raw, bitorder="little")
+    return bits[:tau]
