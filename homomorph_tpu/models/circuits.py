@@ -57,15 +57,22 @@ def gate_xor(a: Ciphered, b: Ciphered) -> Ciphered:
 
 
 def gate_and(a: Ciphered, b: Ciphered) -> Ciphered:
+    prod = gf2.clmul_chunked(a.limbs, b.limbs)
+    bound = a.bound + b.bound
     return Ciphered(
-        gf2.clmul_chunked(a.limbs, b.limbs), a.bound + b.bound, a.desc
+        gf2.fit_limbs(prod, gf2.bucket(gf2.limbs_for(bound))), bound, a.desc
     )
 
 
 def gate_or(a: Ciphered, b: Ciphered) -> Ciphered:
     x = gf2.xor(a.limbs, b.limbs)
     m = gf2.clmul_chunked(a.limbs, b.limbs)
-    return Ciphered(gf2.xor(x, m), a.bound + b.bound, a.desc)
+    bound = a.bound + b.bound
+    return Ciphered(
+        gf2.fit_limbs(gf2.xor(x, m), gf2.bucket(gf2.limbs_for(bound))),
+        bound,
+        a.desc,
+    )
 
 
 def gate_not(a: Ciphered) -> Ciphered:
@@ -170,6 +177,7 @@ def _pp_tensor(a: Ciphered, b: Ciphered) -> list[list[CipheredBit]]:
     (broadcast over the two lane axes), then sliced into lanes."""
     prod = gf2.clmul_chunked(a.limbs[..., :, None, :], b.limbs[..., None, :, :])
     bound = a.bound + b.bound
+    prod = gf2.fit_limbs(prod, gf2.bucket(gf2.limbs_for(bound)))
     n = len(a)
     return [
         [CipheredBit(prod[..., i, j, :], bound) for j in range(n)] for i in range(n)

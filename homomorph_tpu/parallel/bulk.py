@@ -1,0 +1,106 @@
+"""Sharded bulk encryption / decryption over a device mesh.
+
+The distributed analogue of the reference's per-bit encrypt loop
+(reference: src/cipher.rs:99-115), re-designed for a TPU pod slice:
+
+* batch (ciphertext-bit) axis -> pure data parallelism,
+* tau axis -> each shard holds a slice of the public key's bit planes and
+  computes a *partial popcount*; an arithmetic ``psum`` over the tau axis
+  combines them exactly (counts <= tau < 2^24 in f32), and the mod-2 is
+  taken after the collective.  XOR-all-reduce expressed as a native XLA
+  ``psum`` - no custom bitwise collective required (SURVEY §7 flagged this
+  as the risky part; parity-domain psum sidesteps it).
+
+All functions are jitted with explicit shardings; under a 1-device mesh
+they degrade to the single-chip path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..gf2 import poly as gf2
+from .mesh import DATA_AXIS, TAU_AXIS, ShardingConfig
+
+__all__ = ["sharded_encrypt_bits", "sharded_decrypt_bits", "sharded_gate_xor"]
+
+
+def _encrypt_local(sel, pk_bits, plain_bits, out_limbs: int):
+    """Per-shard body: partial counts -> psum over tau -> parity -> pack."""
+    part = jnp.matmul(
+        sel.astype(jnp.bfloat16), pk_bits, preferred_element_type=jnp.float32
+    )
+    counts = jax.lax.psum(part, TAU_AXIS)
+    bits = (counts.astype(jnp.int32) & 1).astype(jnp.uint8)
+    limbs = gf2.pad_limbs(gf2.pack_bits(bits), out_limbs)
+    return gf2.xor_const_bit(limbs, plain_bits.astype(jnp.uint32))
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _sharded_encrypt(cfg: ShardingConfig, sel, pk_bits, plain_bits, out_limbs: int):
+    mesh = cfg.mesh
+    fn = jax.shard_map(
+        functools.partial(_encrypt_local, out_limbs=out_limbs),
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None, TAU_AXIS),
+            P(TAU_AXIS, None),
+            P(DATA_AXIS, None),
+        ),
+        out_specs=P(DATA_AXIS, None, None),
+    )
+    return fn(sel, pk_bits, plain_bits)
+
+
+def sharded_encrypt_bits(
+    cfg: ShardingConfig,
+    sel: jax.Array,
+    pk_bits: jax.Array,
+    plain_bits: jax.Array,
+    out_limbs: int,
+) -> jax.Array:
+    """Encrypt a batch of plaintext bits under mesh sharding.
+
+    ``sel``: [B, n, tau] subset indicators; ``pk_bits``: [tau, D] bf16 bit
+    planes; ``plain_bits``: [B, n].  Returns [B, n, out_limbs] uint32,
+    sharded over the data axis.
+    """
+    sel = jax.device_put(sel, cfg.sel_sharding())
+    pk_bits = jax.device_put(pk_bits, cfg.pk_sharding())
+    plain_bits = jax.device_put(
+        plain_bits, NamedSharding(cfg.mesh, P(DATA_AXIS, None))
+    )
+    return _sharded_encrypt(cfg, sel, pk_bits, plain_bits, out_limbs)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _sharded_decrypt(cfg: ShardingConfig, limbs, w):
+    fn = jax.shard_map(
+        gf2.decipher_bits,
+        mesh=cfg.mesh,
+        in_specs=(P(DATA_AXIS, None, None), P(None)),
+        out_specs=P(DATA_AXIS, None),
+    )
+    return fn(limbs, w)
+
+
+def sharded_decrypt_bits(
+    cfg: ShardingConfig, limbs: jax.Array, w: jax.Array
+) -> jax.Array:
+    """Decrypt [B, n, L] ciphered bits to [B, n] plaintext bits (pure DP)."""
+    limbs = jax.device_put(limbs, cfg.cipher_sharding())
+    w = jax.device_put(w, cfg.replicated())
+    return _sharded_decrypt(cfg, limbs, w)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def sharded_gate_xor(cfg: ShardingConfig, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Lane-wise homomorphic XOR under data sharding (no communication)."""
+    sharding = cfg.cipher_sharding()
+    a = jax.lax.with_sharding_constraint(a, sharding)
+    b = jax.lax.with_sharding_constraint(b, sharding)
+    return a ^ b

@@ -1,0 +1,25 @@
+"""Test configuration: force CPU with 8 virtual devices for sharding tests.
+
+Must run before jax initializes its backends.  The host environment points
+JAX at the single real TPU (JAX_PLATFORMS=axon via a sitecustomize that
+dials a tunnel per process); tests run on a virtual 8-device CPU mesh
+instead, per the multi-chip validation strategy.
+"""
+
+import os
+
+os.environ["PALLAS_AXON_POOL_IPS"] = ""  # skip axon PJRT registration
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

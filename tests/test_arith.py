@@ -1,0 +1,164 @@
+"""Gate / adder / multiplier tests (reference: src/impls/numbers/{uint,int}.rs)."""
+
+import numpy as np
+import pytest
+
+import homomorph_tpu as hm
+from homomorph_tpu.models import (
+    HomomorphicAddition,
+    HomomorphicAndGate,
+    HomomorphicMultiplication,
+    HomomorphicNotGate,
+    HomomorphicOrGate,
+    HomomorphicXorGate,
+)
+
+
+def make_ctx(d, dp, delta, tau, seed=0):
+    ctx = hm.Context(hm.Parameters(d, dp, delta, tau), source=hm.ThreefrySource(seed))
+    ctx.generate_secret_key()
+    ctx.generate_public_key()
+    return ctx
+
+
+class TestGates:
+    # uint.rs:108-174 truth tables at (32,8,8,8) / (32,16,16,16)
+    def test_and(self):
+        ctx = make_ctx(32, 8, 8, 8)
+        a, b = ctx.encrypt(0b1010, hm.U8), ctx.encrypt(0b1100, hm.U8)
+        assert ctx.decrypt(ctx.apply2(HomomorphicAndGate, a, b)) == 0b1000
+
+    def test_or(self):
+        ctx = make_ctx(32, 8, 8, 8)
+        a, b = ctx.encrypt(0b1010, hm.U8), ctx.encrypt(0b1100, hm.U8)
+        assert ctx.decrypt(ctx.apply2(HomomorphicOrGate, a, b)) == 0b1110
+
+    def test_xor(self):
+        ctx = make_ctx(32, 16, 16, 16)
+        a, b = ctx.encrypt(0b1010, hm.U8), ctx.encrypt(0b1100, hm.U8)
+        assert ctx.decrypt(ctx.apply2(HomomorphicXorGate, a, b)) == 0b0110
+
+    def test_not(self):
+        ctx = make_ctx(32, 16, 16, 16)
+        a = ctx.encrypt(0b00001010, hm.U8)
+        assert ctx.decrypt(ctx.apply1(HomomorphicNotGate, a)) == 0b11110101
+        a = ctx.encrypt(0b00001100, hm.U8)
+        assert ctx.decrypt(ctx.apply1(HomomorphicNotGate, a)) == 0b11110011
+
+    def test_signed_gates(self):
+        # int.rs gate tests
+        ctx = make_ctx(32, 8, 8, 8)
+        a, b = ctx.encrypt(0b1010, hm.I8), ctx.encrypt(0b1100, hm.I8)
+        assert ctx.decrypt(ctx.apply2(HomomorphicAndGate, a, b)) == 0b1000
+
+
+class TestAddition:
+    # uint.rs:176-208 at (64,16,1,16)
+    def test_simple(self):
+        ctx = make_ctx(64, 16, 1, 16)
+        a, b = ctx.encrypt(22, hm.U8), ctx.encrypt(20, hm.U8)
+        assert ctx.decrypt(ctx.apply2(HomomorphicAddition, a, b)) == 42
+
+    def test_random_u16(self, rng):
+        ctx = make_ctx(64, 16, 1, 16, seed=1)
+        x, y = int(rng.integers(0, 2**15)), int(rng.integers(0, 2**15))
+        a, b = ctx.encrypt(x, hm.U16), ctx.encrypt(y, hm.U16)
+        assert ctx.decrypt(ctx.apply2(HomomorphicAddition, a, b)) == x + y
+
+    def test_wrapping(self):
+        ctx = make_ctx(64, 16, 1, 16, seed=2)
+        a, b = ctx.encrypt(255, hm.U8), ctx.encrypt(240, hm.U8)
+        assert ctx.decrypt(ctx.apply2(HomomorphicAddition, a, b)) == 239
+
+    def test_signed(self):
+        # int.rs signed addition (two's complement)
+        ctx = make_ctx(64, 16, 1, 16, seed=3)
+        a, b = ctx.encrypt(-22, hm.I8), ctx.encrypt(20, hm.I8)
+        assert ctx.decrypt(ctx.apply2(HomomorphicAddition, a, b)) == -2
+
+    def test_requires_d_over_delta(self):
+        ctx = make_ctx(64, 32, 8, 32)  # d/delta = 8 < 21
+        a, b = ctx.encrypt(1, hm.U8), ctx.encrypt(2, hm.U8)
+        with pytest.raises(hm.InvalidParametersError):
+            ctx.apply2(HomomorphicAddition, a, b)
+
+    def test_batched(self, rng):
+        ctx = make_ctx(64, 16, 1, 16, seed=4)
+        xs = [int(v) for v in rng.integers(0, 128, size=8)]
+        ys = [int(v) for v in rng.integers(0, 127, size=8)]
+        a = ctx.encrypt(xs, hm.U8, batch=True)
+        b = ctx.encrypt(ys, hm.U8, batch=True)
+        out = ctx.decrypt(ctx.apply2(HomomorphicAddition, a, b))
+        assert list(out) == [(x + y) % 256 for x, y in zip(xs, ys)]
+
+
+class TestSuccessiveAddition:
+    # uint.rs:230-252 (scaled down from the ignored long test)
+    def test_three_way(self):
+        # d=256 as in the reference's successive-addition test (uint.rs:233)
+        ctx = make_ctx(256, 32, 1, 32, seed=5)
+        xs = (11, 22, 30)
+        ca, cb, cc = (ctx.encrypt(x, hm.U8) for x in xs)
+        d = ctx.apply2(HomomorphicAddition, ca, cb)
+        e = ctx.apply2(HomomorphicAddition, d, cc)
+        assert ctx.decrypt(e) == sum(xs)
+
+
+class TestMultiplication:
+    # uint.rs:254-293 semantics; run at (128,16,1,16) - same d/delta ratio
+    # class as the reference's (128,64,1,64) but cheaper polynomials, so the
+    # suite stays fast on CPU.  The reference-param config runs under -m slow.
+    @pytest.fixture(scope="class")
+    def ctx(self):
+        return make_ctx(128, 16, 1, 16, seed=6)
+
+    def test_simple(self, ctx):
+        a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(7, hm.U8)
+        assert ctx.decrypt(ctx.apply2(HomomorphicMultiplication, a, b)) == 42
+
+    def test_by_zero(self, ctx):
+        a, b = ctx.encrypt(0, hm.U8), ctx.encrypt(151, hm.U8)
+        assert ctx.decrypt(ctx.apply2(HomomorphicMultiplication, a, b)) == 0
+
+    def test_random(self, ctx, rng):
+        x, y = int(rng.integers(0, 13)), int(rng.integers(0, 20))
+        a, b = ctx.encrypt(x, hm.U8), ctx.encrypt(y, hm.U8)
+        assert ctx.decrypt(ctx.apply2(HomomorphicMultiplication, a, b)) == x * y
+
+    def test_wrapping(self, ctx):
+        a, b = ctx.encrypt(255, hm.U8), ctx.encrypt(240, hm.U8)
+        assert ctx.decrypt(ctx.apply2(HomomorphicMultiplication, a, b)) == 16
+
+    # int.rs:247-268 signed cases
+    def test_signed(self, ctx):
+        a, b = ctx.encrypt(-6, hm.I8), ctx.encrypt(7, hm.I8)
+        assert ctx.decrypt(ctx.apply2(HomomorphicMultiplication, a, b)) == -42
+
+    def test_signed_both_negative(self, ctx):
+        a, b = ctx.encrypt(-6, hm.I8), ctx.encrypt(-7, hm.I8)
+        assert ctx.decrypt(ctx.apply2(HomomorphicMultiplication, a, b)) == 42
+
+    def test_requires_d_over_delta(self):
+        ctx = make_ctx(64, 16, 1, 16)  # d/delta = 64... use delta=2 -> 32 < 64
+        ctx = make_ctx(64, 16, 2, 16)
+        a, b = ctx.encrypt(1, hm.U8), ctx.encrypt(2, hm.U8)
+        with pytest.raises(hm.InvalidParametersError):
+            ctx.apply2(HomomorphicMultiplication, a, b)
+
+
+@pytest.mark.slow
+class TestExtensive:
+    # analogues of the #[ignore = "long test"] cases (uint.rs:210-252) at
+    # production-ish params (256,128,1,128)
+    def test_addition_extensive(self, rng):
+        ctx = make_ctx(256, 128, 1, 128, seed=7)
+        x = int(rng.integers(0, 2**31))
+        y = int(rng.integers(0, 2**31))
+        a, b = ctx.encrypt(x, hm.U32), ctx.encrypt(y, hm.U32)
+        assert ctx.decrypt(ctx.apply2(HomomorphicAddition, a, b)) == x + y
+
+    def test_multiplication_reference_params(self, rng):
+        # the reference's exact mul config (128,64,1,64)
+        ctx = make_ctx(128, 64, 1, 64, seed=8)
+        a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(7, hm.U8)
+        assert ctx.decrypt(ctx.apply2(HomomorphicMultiplication, a, b)) == 42
