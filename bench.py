@@ -67,7 +67,7 @@ def main() -> None:
     tau = params.tau
 
     n_steps = 5 if args.quick else 20
-    B = args.batch_bits or (1 << 14 if args.quick else 1 << 17)
+    B = args.batch_bits or (1 << 14 if args.quick else 1 << 20)
 
     # ---- bit-encryption throughput (sel generation + parity matmul + pack)
     plain = jnp.zeros((B,), dtype=jnp.uint32)
@@ -101,7 +101,7 @@ def main() -> None:
     log(f"decrypt u32 p50 latency: {t_lat*1e6:.1f} us (ref: 12.5 us)")
 
     # ---- homomorphic add u32 (batched) -----------------------------------
-    n_add = 64 if args.quick else 256
+    n_add = 64 if args.quick else 2048
     ca = hm.Ciphered(ct[: n_add * 32].reshape(n_add, 32, L), params.pk_degree, hm.U32)
     cb = hm.Ciphered(ct[n_add * 32 : 2 * n_add * 32].reshape(n_add, 32, L),
                      params.pk_degree, hm.U32)

@@ -36,6 +36,7 @@ import numpy as np
 
 from . import codec as _codec
 from . import rng as _rng
+from .gf2 import kernels as gf2k
 from .gf2 import poly as gf2
 from .keys import PublicKey, SecretKey
 from .utils.errors import (
@@ -125,7 +126,7 @@ class CipheredBit:
         return CipheredBit(gf2.xor(self.limbs, other.limbs), max(self.bound, other.bound))
 
     def and_(self, other: "CipheredBit") -> "CipheredBit":
-        prod = gf2.clmul_chunked(self.limbs, other.limbs)
+        prod = gf2k.clmul(self.limbs, other.limbs)
         bound = self.bound + other.bound
         # Degree-class quantization: keep the static shape universe small
         # so repeated circuit steps hit the XLA compile cache.

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import rng as _rng
+from .gf2 import kernels as gf2k
 from .gf2 import poly as gf2
 from .params import Parameters
 from .utils.errors import SecretKeyUnsetError
@@ -261,7 +262,7 @@ def _pk_from_qr(
     s: jax.Array, q: jax.Array, r: jax.Array, pk_degree: int
 ) -> jax.Array:
     L = gf2.limbs_for(pk_degree)
-    sq = gf2.clmul_chunked(q, s)  # [tau, Lq + Ls]
+    sq = gf2k.clmul(q, s)  # [tau, Lq + Ls]
     rx = gf2.shift_left_static(r, 1, L)  # X * R_i
     return gf2.pad_limbs(sq, max(L, sq.shape[-1]))[..., :L] ^ rx
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from ..cipher import Ciphered, CipheredBit
+from ..gf2 import kernels as gf2k
 from ..gf2 import poly as gf2
 
 __all__ = [
@@ -57,7 +58,7 @@ def gate_xor(a: Ciphered, b: Ciphered) -> Ciphered:
 
 
 def gate_and(a: Ciphered, b: Ciphered) -> Ciphered:
-    prod = gf2.clmul_chunked(a.limbs, b.limbs)
+    prod = gf2k.clmul(a.limbs, b.limbs)
     bound = a.bound + b.bound
     return Ciphered(
         gf2.fit_limbs(prod, gf2.bucket(gf2.limbs_for(bound))), bound, a.desc
@@ -66,7 +67,7 @@ def gate_and(a: Ciphered, b: Ciphered) -> Ciphered:
 
 def gate_or(a: Ciphered, b: Ciphered) -> Ciphered:
     x = gf2.xor(a.limbs, b.limbs)
-    m = gf2.clmul_chunked(a.limbs, b.limbs)
+    m = gf2k.clmul(a.limbs, b.limbs)
     bound = a.bound + b.bound
     return Ciphered(
         gf2.fit_limbs(gf2.xor(x, m), gf2.bucket(gf2.limbs_for(bound))),
@@ -175,7 +176,7 @@ def mul_unsigned_lanes(
 def _pp_tensor(a: Ciphered, b: Ciphered) -> list[list[CipheredBit]]:
     """All n*n partial products in ONE batched carry-less multiply
     (broadcast over the two lane axes), then sliced into lanes."""
-    prod = gf2.clmul_chunked(a.limbs[..., :, None, :], b.limbs[..., None, :, :])
+    prod = gf2k.clmul(a.limbs[..., :, None, :], b.limbs[..., None, :, :])
     bound = a.bound + b.bound
     prod = gf2.fit_limbs(prod, gf2.bucket(gf2.limbs_for(bound)))
     n = len(a)
