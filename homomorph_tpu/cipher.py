@@ -239,18 +239,35 @@ class Ciphered:
 
         tau = pk.tau
         shape = (len(values), n_bits)
-        if key is not None:
-            sel = _random_selection(key, shape, tau)
-        else:
-            sel_host = np.empty(shape + (tau,), dtype=np.uint8)
-            for v in range(len(values)):
-                for i in range(n_bits):
-                    sel_host[v, i] = _rng.random_selection_bits(source, tau)
-            sel = jnp.asarray(sel_host)
-
         bound = pk.max_degree
         L = gf2.limbs_for(bound)
-        limbs = _encrypt_core(sel, pk.bit_planes(), jnp.asarray(all_bits), L)
+        total = len(values) * n_bits
+        W = -(-tau // 32)
+
+        if key is not None and total % 128 == 0:
+            # Fused Pallas path: packed selection words straight into the
+            # single-pass encrypt kernel (falls back to XLA off-TPU).
+            from .gf2.encrypt_kernel import encrypt_bits_fused
+
+            selw = jax.random.bits(key, (total, W), dtype=jnp.uint32)
+            flat = encrypt_bits_fused(
+                selw,
+                pk.bit_planes(),
+                jnp.asarray(all_bits.reshape(total).astype(np.uint32)),
+                L,
+            )
+            limbs = flat.reshape(shape + (L,))
+        else:
+            if key is not None:
+                sel = _random_selection(key, shape, tau)
+            else:
+                sel_host = np.empty(shape + (tau,), dtype=np.uint8)
+                for v in range(len(values)):
+                    for i in range(n_bits):
+                        sel_host[v, i] = _rng.random_selection_bits(source, tau)
+                sel = jnp.asarray(sel_host)
+            limbs = _encrypt_core(sel, pk.bit_planes(), jnp.asarray(all_bits), L)
+
         if not batch:
             limbs = limbs[0]
         return cls(limbs, bound, desc)

@@ -1,0 +1,121 @@
+"""Fused Pallas encryption kernel.
+
+Single-pass encryption of a batch of bits: unpack packed selection words ->
+MXU parity matmul against the public key's bit planes -> mod-2 -> repack ->
+XOR plaintext, all within VMEM.  Replaces a 4-pass XLA pipeline whose
+intermediates (unpacked selections [B, tau] bf16 and f32 counts [B, D])
+dominate HBM traffic:
+
+    HBM bytes/bit  multi-pass: ~4*(tau + 4*D) + ...   fused: 4*ceil(tau/32) + 4*L + 1
+
+The public key block ([tau, D] bf16 bit planes) stays resident in VMEM
+across the whole grid (tau=128, D=288 -> 74 KB).
+
+Math note: XOR over a selected subset of pk rows == per-column popcount
+parity; counts <= tau <= 65535 are exact in f32 (bf16 inputs are 0/1,
+MXU accumulates f32) - see SURVEY §7 / cipher.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import poly as gf2
+from .kernels import _INTERPRET, LANES, is_tpu_backend
+
+U32 = jnp.uint32
+
+
+def _encrypt_kernel(selw_ref, pkbits_ref, plain_ref, out_ref, *, tau: int, L: int):
+    # selw_ref:   [TB, W]  packed selection words (W = ceil(tau/32))
+    # pkbits_ref: [tau, D] bf16 bit planes (resident)
+    # plain_ref:  [TB, 1]  plaintext bits
+    # out_ref:    [TB, L]  ciphertext limbs
+    TB = selw_ref.shape[0]
+    D = pkbits_ref.shape[1]
+    W = selw_ref.shape[1]
+
+    # Unpack selection words -> [TB, tau] bf16 0/1.  Mosaic-friendly 2-D
+    # ops only: per packed word, broadcast against a 32-lane shift iota and
+    # concatenate (no 3-D reshapes, no uint32->bf16 direct cast).
+    shifts = jax.lax.broadcasted_iota(U32, (1, 32), 1)
+    selw = selw_ref[:]  # [TB, W]
+    cols = [((selw[:, w : w + 1] >> shifts) & 1) for w in range(W)]
+    sel_u32 = jnp.concatenate(cols, axis=1)[:, :tau]  # [TB, tau]
+    sel = sel_u32.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+    counts = jnp.dot(sel, pkbits_ref[:], preferred_element_type=jnp.float32)
+    cbits = counts.astype(jnp.int32) & 1  # [TB, D]
+
+    # Pack D bit columns -> L uint32 limbs.  Mosaic lacks unsigned
+    # reductions, so accumulate in int32 (two's-complement wraparound gives
+    # the exact uint32 value); per-limb lane reduction over 32 columns.
+    weights = jnp.int32(1) << jax.lax.broadcasted_iota(jnp.int32, (1, 32), 1)
+    padded = (D + 31) // 32 * 32
+    if padded != D:
+        cbits = jnp.pad(cbits, ((0, 0), (0, padded - D)))
+    limb_cols = []
+    for l in range(min(L, padded // 32)):
+        seg = cbits[:, 32 * l : 32 * (l + 1)]  # [TB, 32]
+        limb_cols.append(
+            jnp.sum(seg * weights, axis=1, keepdims=True, dtype=jnp.int32)
+        )
+    limbs = jnp.concatenate(limb_cols, axis=1).astype(U32)  # [TB, <=L]
+    if limbs.shape[1] < L:
+        limbs = jnp.pad(limbs, ((0, 0), (0, L - limbs.shape[1])))
+    # xor plaintext into the constant term
+    flip = jnp.concatenate(
+        [plain_ref[:] & 1, jnp.zeros((TB, L - 1), dtype=U32)], axis=1
+    )
+    out_ref[:] = limbs ^ flip
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _encrypt_fused(selw, pk_bits, plain, tau: int, L: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, W = selw.shape
+    D = pk_bits.shape[1]
+    # Adaptive tile: counts f32 + cbits i32 + sel bf16 per tile must fit
+    # VMEM alongside the resident pk block (~12 bytes per (row, D) element).
+    TB = 512
+    while TB > 128 and (TB * D * 12 > (6 << 20) or B % TB):
+        TB //= 2
+    grid = (B // TB,)
+    kern = functools.partial(_encrypt_kernel, tau=tau, L=L)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(pk_bits.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TB, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L), jnp.uint32),
+        interpret=_INTERPRET,
+    )(selw, pk_bits, plain)
+
+
+def encrypt_bits_fused(
+    selw: jax.Array, pk_bits: jax.Array, plain: jax.Array, L: int
+) -> jax.Array:
+    """Fused encryption of a flat bit batch.
+
+    ``selw``: [B, ceil(tau/32)] packed selection words; ``pk_bits``:
+    [tau, D] bf16; ``plain``: [B] 0/1.  Returns [B, L] uint32.  Falls back
+    to the multi-pass XLA path off-TPU or for small/ragged batches.
+    """
+    tau = pk_bits.shape[0]
+    B = selw.shape[0]
+    if (_INTERPRET or is_tpu_backend()) and B % 128 == 0 and B > 0:
+        return _encrypt_fused(selw, pk_bits, plain[:, None].astype(U32), tau, L)
+    sel = gf2.unpack_bits(selw, tau)
+    from ..cipher import _encrypt_core
+
+    return _encrypt_core(sel, pk_bits, plain, L)

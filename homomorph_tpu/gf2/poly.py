@@ -246,7 +246,9 @@ def clmul(a: jax.Array, b: jax.Array) -> jax.Array:
         hi = hi ^ jnp.where(sel, (b_e >> 1) >> (U32(LIMB_BITS - 1) - k32), U32(0))
         return lo, hi
 
-    zeros = jnp.zeros(lead + (La, Lb), dtype=U32)
+    # Derive the carry init from the operands (not jnp.zeros) so it inherits
+    # their sharding/varying-axis tags under shard_map.
+    zeros = (a_e & U32(0)) ^ (b_e & U32(0))
     lo, hi = lax.fori_loop(0, LIMB_BITS, body, (zeros, zeros))
 
     T = La + Lb - 1

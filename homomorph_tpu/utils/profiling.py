@@ -1,0 +1,150 @@
+"""Tracing, profiling, and speed-of-light accounting.
+
+The reference has no in-library tracing - only Criterion wall-clock
+benches (reference: benches/u32.rs:52-56).  For a production TPU framework
+the north-star metric requires per-kernel speed-of-light accounting
+(SURVEY §5.1), provided here:
+
+* :func:`trace` - context manager around ``jax.profiler`` for capturing
+  device traces viewable in XProf/TensorBoard.
+* :class:`Meter` - lightweight operation counters (ops, bits, bytes moved,
+  wall time) for the batch APIs (SURVEY §5.5).
+* :func:`clmul_sol` / :func:`encrypt_sol` / :func:`decrypt_sol` - analytic
+  speed-of-light models for the three hot kernels on a given chip, used to
+  report achieved-vs-peak fractions.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from collections import defaultdict
+
+
+# Conservative public per-chip peaks for common TPU generations.
+# (bf16 matmul FLOP/s, HBM bytes/s, VPU uint32 lane-ops/s)
+_CHIP_PEAKS = {
+    "v5e": dict(mxu_flops=197e12, hbm_bw=819e9, vpu_ops=1.4e12),
+    "v5": dict(mxu_flops=459e12, hbm_bw=1228e9, vpu_ops=2.8e12),
+    "v4": dict(mxu_flops=275e12, hbm_bw=1228e9, vpu_ops=2.0e12),
+    "cpu": dict(mxu_flops=1e12, hbm_bw=100e9, vpu_ops=2e11),
+}
+
+
+def chip_peaks(device=None) -> dict:
+    """Best-effort peak numbers for the current device."""
+    try:
+        import jax
+
+        kind = (device or jax.devices()[0]).device_kind.lower()
+    except Exception:
+        kind = "cpu"
+    for key, peaks in _CHIP_PEAKS.items():
+        if key in kind.replace(" ", ""):
+            return peaks
+    if "lite" in kind or "v5" in kind:
+        return _CHIP_PEAKS["v5e"]
+    return _CHIP_PEAKS["cpu"]
+
+
+@contextlib.contextmanager
+def trace(logdir: str = "/tmp/homomorph_tpu_trace"):
+    """Capture a jax.profiler device trace (view with xprof/tensorboard)."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+# --------------------------------------------------------------------------
+# Speed-of-light models
+# --------------------------------------------------------------------------
+
+
+def clmul_sol(batch: int, La: int, Lb: int, device=None) -> float:
+    """Lower-bound seconds for a batched carry-less multiply.
+
+    Compute model: 32 bit planes x La x Lb limb updates, ~4 VPU ops each
+    (shift, select, 2 xor); memory model: read La+Lb limbs, write La+Lb.
+    """
+    peaks = chip_peaks(device)
+    compute = batch * 32 * La * Lb * 4 / peaks["vpu_ops"]
+    memory = batch * (2 * (La + Lb)) * 4 / peaks["hbm_bw"]
+    return max(compute, memory)
+
+
+def encrypt_sol(batch_bits: int, tau: int, pk_bits: int, device=None) -> float:
+    """Lower-bound seconds to encrypt ``batch_bits`` bits.
+
+    MXU: batch x tau x pk_bits MACs; HBM (fused kernel): read tau/8 + write
+    pk_bits/8 bytes per bit (pk resident in VMEM).
+    """
+    peaks = chip_peaks(device)
+    compute = batch_bits * tau * pk_bits * 2 / peaks["mxu_flops"]
+    memory = batch_bits * (tau / 8 + pk_bits / 8) / peaks["hbm_bw"]
+    return max(compute, memory)
+
+
+def decrypt_sol(batch_bits: int, n_limbs: int, device=None) -> float:
+    """Lower-bound seconds to decrypt: read L limbs/bit, AND+popcount+reduce."""
+    peaks = chip_peaks(device)
+    compute = batch_bits * n_limbs * 3 / peaks["vpu_ops"]
+    memory = batch_bits * n_limbs * 4 / peaks["hbm_bw"]
+    return max(compute, memory)
+
+
+# --------------------------------------------------------------------------
+# Counters
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class _Stat:
+    calls: int = 0
+    items: int = 0
+    seconds: float = 0.0
+
+
+class Meter:
+    """Operation counters for observability around the batch APIs.
+
+    Usage::
+
+        meter = Meter()
+        with meter.measure("encrypt", items=batch_bits):
+            ct = ctx.encrypt(...)
+        print(meter.report())
+    """
+
+    def __init__(self):
+        self._stats: dict[str, _Stat] = defaultdict(_Stat)
+
+    @contextlib.contextmanager
+    def measure(self, name: str, items: int = 1):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            s = self._stats[name]
+            s.calls += 1
+            s.items += items
+            s.seconds += dt
+
+    def report(self) -> dict[str, dict]:
+        out = {}
+        for name, s in sorted(self._stats.items()):
+            out[name] = {
+                "calls": s.calls,
+                "items": s.items,
+                "seconds": round(s.seconds, 6),
+                "items_per_s": round(s.items / s.seconds, 1) if s.seconds else None,
+            }
+        return out
+
+    def reset(self) -> None:
+        self._stats.clear()
