@@ -152,6 +152,36 @@ def main() -> None:
     dab_per_s = n_add / t_dab
     log(f"decipher-after-add u32: {dab_per_s:,.1f}/s batched (ref: {1/1.03e-3:,.1f}/s)")
 
+    # ---- homomorphic mul u8 (benches/u8.rs config, delta=1) --------------
+    n_mul = 0 if args.quick else 32
+    if n_mul:
+        mp = hm.Parameters(128, 128, 1, 128)
+        mctx = hm.Context(mp, source=hm.ThreefrySource(3))
+        mctx.generate_secret_key()
+        mctx.generate_public_key()
+        mpk, msk = mctx.get_public_key(), mctx.get_secret_key()
+        ma = mctx.encrypt([6] * n_mul, hm.U8, batch=True)
+        mb = mctx.encrypt([7] * n_mul, hm.U8, batch=True)
+
+        @jax.jit
+        def mul_step(a_limbs, b_limbs):
+            a = hm.Ciphered(a_limbs, mp.pk_degree, hm.U8)
+            b = hm.Ciphered(b_limbs, mp.pk_degree, hm.U8)
+            return circuits.mul_unsigned(a, b).limbs
+
+        t_mul = _throughput(lambda: mul_step(ma.limbs, mb.limbs), 2, warmup=1)
+        mul_per_s = n_mul / t_mul
+        log(f"hom. mul u8: {mul_per_s:,.2f} muls/s batched")
+        prod_limbs = mul_step(ma.limbs, mb.limbs)
+        w_mul = msk.decrypt_mask(prod_limbs.shape[-1])
+
+        @jax.jit
+        def dec_mul(c):
+            return gf2.decipher_bits(c, w_mul)
+
+        t_dm = _throughput(lambda: dec_mul(prod_limbs), 4)
+        log(f"decipher-after-mul u8: {n_mul/t_dm:,.1f}/s batched")
+
     extras = {
         "params": "d=128 dp=128 delta=64 tau=128",
         "batch_bits": B,
@@ -161,6 +191,9 @@ def main() -> None:
         "decipher_after_add_u32_per_s": round(dab_per_s, 2),
         "device": str(dev),
     }
+    if n_mul:
+        extras["mul_u8_per_s_batched"] = round(mul_per_s, 2)
+        extras["decipher_after_mul_u8_per_s"] = round(n_mul / t_dm, 2)
 
     # ---- scaled config: d=dp=1024, tau=256, 1e5-bit bulk (BASELINE #5) ----
     if not args.skip_scaled and not args.quick:

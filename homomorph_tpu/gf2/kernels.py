@@ -102,11 +102,19 @@ _MAX_SMALL_LIMBS = 48
 _MAX_TOTAL_LIMBS = 4096
 
 
+_STRIP = 32  # strip width (limbs) when both operands exceed the kernel cap
+
+
 def clmul(a: jax.Array, b: jax.Array) -> jax.Array:
     """Batched carry-less multiply with Pallas fast path.
 
     Same contract as :func:`homomorph_tpu.gf2.poly.clmul`: [..., La] x
     [..., Lb] -> [..., La+Lb] with broadcast leading dims.
+
+    Large x large products (both operands beyond the kernel's unroll cap)
+    are decomposed into 32-limb strips of the smaller operand: each strip
+    runs the small x large kernel, and strip results combine with
+    static-offset XORs - total limb work is unchanged.
     """
     La, Lb = a.shape[-1], b.shape[-1]
     lead = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
@@ -115,12 +123,7 @@ def clmul(a: jax.Array, b: jax.Array) -> jax.Array:
     small, big = (a, b) if La <= Lb else (b, a)
     Ls, Lg = small.shape[-1], big.shape[-1]
 
-    if (
-        not _kernel_enabled()
-        or batch < LANES
-        or Ls > _MAX_SMALL_LIMBS
-        or (Ls + Lg) > _MAX_TOTAL_LIMBS
-    ):
+    if not _kernel_enabled() or batch < LANES or (Ls + Lg) > _MAX_TOTAL_LIMBS:
         return gf2.clmul_chunked(a, b)
 
     af = jnp.broadcast_to(big, lead + (Lg,)).reshape(batch, Lg)
@@ -129,6 +132,21 @@ def clmul(a: jax.Array, b: jax.Array) -> jax.Array:
     if pad:
         af = jnp.pad(af, [(0, pad), (0, 0)])
         bf = jnp.pad(bf, [(0, pad), (0, 0)])
-    outT = _clmul_pallas_T(af.T, bf.T, Lg, Ls)
-    out = outT.T[:batch]
+
+    if Ls <= _MAX_SMALL_LIMBS:
+        outT = _clmul_pallas_T(af.T, bf.T, Lg, Ls)
+        out = outT.T[:batch]
+        return out.reshape(lead + (Lg + Ls,))
+
+    # strip decomposition over the smaller operand
+    aT = af.T
+    acc = jnp.zeros((Lg + Ls, af.shape[0]), dtype=jnp.uint32)
+    for c0 in range(0, Ls, _STRIP):
+        w = min(_STRIP, Ls - c0)
+        stripT = bf[:, c0 : c0 + w].T
+        prodT = _clmul_pallas_T(aT, stripT, Lg, w)  # [Lg + w, B]
+        acc = acc.at[c0 : c0 + Lg + w, :].set(
+            acc[c0 : c0 + Lg + w, :] ^ prodT
+        )
+    out = acc.T[:batch]
     return out.reshape(lead + (Lg + Ls,))

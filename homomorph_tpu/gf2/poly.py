@@ -62,7 +62,7 @@ def bucket(num_limbs: int) -> int:
     """
     if num_limbs <= 8:
         return num_limbs
-    q = 1 << max(0, (num_limbs - 1).bit_length() - 3)
+    q = 1 << max(0, (num_limbs - 1).bit_length() - 2)
     return -(-num_limbs // q) * q
 
 

@@ -96,36 +96,52 @@ def add_lanes(a: Sequence[CipheredBit], b: Sequence[CipheredBit]) -> list[Cipher
     n = min(len(a), len(b))
     xs = [a[i].xor(b[i]) for i in range(n)]
     gs = [a[i].and_(b[i]) for i in range(n)]
+    # c' = g ^ m*c with m = x*(g^1): polynomial-identical to the reference
+    # recurrence but with one multiply on the sequential path (see add()).
+    ms = [xs[i].and_(gs[i].not_()) for i in range(n)]
     carry = CipheredBit.zero(a[0].batch_shape if n else ())
     out: list[CipheredBit] = []
     for i in range(n):
         out.append(xs[i].xor(carry))
         if i + 1 >= n:
             break
-        t = xs[i].and_(carry)
-        carry = t.xor(gs[i].and_(t.not_()))
+        carry = gs[i].xor(ms[i].and_(carry))
     return out
 
 
 def add(a: Ciphered, b: Ciphered) -> Ciphered:
     """Homomorphic addition; output length = ``len(a)`` (common.rs:58-64).
 
-    The lane-parallel prework (all ``a_i ^ b_i`` and ``a_i & b_i``) runs as
-    two whole-tensor ops; only the carry chain is sequential.
+    Produces polynomials IDENTICAL to the reference's per-bit recurrence
+    ``c' = t ^ (g & (t ^ 1))`` with ``t = x & c`` (common.rs:43-53), but
+    restructured for the TPU: expanding over GF(2),
+
+        c' = t ^ g*t ^ g = g ^ (x*(g ^ 1)) * c = g ^ m*c,
+
+    where ``m_i = x_i * (g_i ^ 1)`` depends only on the inputs.  All
+    ``x_i``, ``g_i``, ``m_i`` lanes are computed as three whole-tensor
+    batched ops up front; the inherently sequential carry chain then needs
+    ONE carry-less multiply per bit position (the reference's formulation
+    needs two on the critical path).
     """
     x_all = gate_xor(a, b)
     g_all = gate_and(a, b)
+    # m = x * (g ^ 1), lane-parallel (batched over all bit positions)
+    m_limbs = gf2k.clmul(x_all.limbs, gf2.xor_const_bit(g_all.limbs, 1))
+    m_bound = x_all.bound + g_all.bound
+    m_limbs = gf2.fit_limbs(m_limbs, gf2.bucket(gf2.limbs_for(m_bound)))
+
     n = len(a)
     xs = [x_all[i] for i in range(n)]
     gs = [g_all[i] for i in range(n)]
+    ms = [CipheredBit(m_limbs[..., i, :], m_bound) for i in range(n)]
     carry = CipheredBit.zero(a.batch_shape)
     out: list[CipheredBit] = []
     for i in range(n):
         out.append(xs[i].xor(carry))
         if i + 1 >= n:
             break
-        t = xs[i].and_(carry)
-        carry = t.xor(gs[i].and_(t.not_()))
+        carry = gs[i].xor(ms[i].and_(carry))
     return Ciphered.new_from_raw(out, a.desc)
 
 

@@ -1,0 +1,126 @@
+"""Precompiled homomorphic pipelines for serving.
+
+The circuit library executes gate-by-gate (eager dispatch per op).  For
+production serving, whole pipelines should be one compiled XLA program:
+this module closes an operation (or a full encrypt -> op -> decrypt chain)
+over static shapes and jits it once, so repeated calls pay a single device
+dispatch regardless of circuit depth.
+
+The reference has no such layer (every op is a direct function call,
+src/context.rs:496-546); on TPU the distinction is the difference between
+hundreds of device round-trips and one.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+
+from .. import codec as _codec
+from ..cipher import Ciphered
+from ..context import Context
+from ..gf2 import poly as gf2
+from ..keys import PublicKey, SecretKey
+from ..params import Parameters
+
+__all__ = ["compile_op2", "compile_op1", "compile_roundtrip"]
+
+
+def compile_op2(
+    op, desc: _codec.TypeDescriptor, bound: int
+) -> Callable[[Ciphered, Ciphered], Ciphered]:
+    """Compile a binary operation into one XLA program.
+
+    ``bound`` is the operands' degree bound (``params.pk_degree`` for
+    fresh ciphertexts).  Shapes specialize on first call per batch shape.
+    """
+    out_meta = {}
+
+    @jax.jit
+    def run(a_limbs, b_limbs):
+        a = Ciphered(a_limbs, bound, desc)
+        b = Ciphered(b_limbs, bound, desc)
+        out = op.unsafe_apply(a, b)
+        out_meta["bound"] = out.bound
+        return out.limbs
+
+    def call(a: Ciphered, b: Ciphered) -> Ciphered:
+        limbs = run(a.limbs, b.limbs)
+        return Ciphered(limbs, out_meta["bound"], desc)
+
+    return call
+
+
+def compile_op1(
+    op, desc: _codec.TypeDescriptor, bound: int
+) -> Callable[[Ciphered], Ciphered]:
+    out_meta = {}
+
+    @jax.jit
+    def run(a_limbs):
+        a = Ciphered(a_limbs, bound, desc)
+        out = op.unsafe_apply(a)
+        out_meta["bound"] = out.bound
+        return out.limbs
+
+    def call(a: Ciphered) -> Ciphered:
+        limbs = run(a.limbs)
+        return Ciphered(limbs, out_meta["bound"], desc)
+
+    return call
+
+
+def compile_roundtrip(
+    ctx: Context, op, desc: _codec.TypeDescriptor
+) -> Callable:
+    """Compile encrypt(a), encrypt(b) -> op -> decrypt-bits as ONE program.
+
+    Returns ``f(key, bits_a, bits_b) -> plain_bits`` where ``bits_*`` are
+    [batch, n_bits] plaintext bits and the result is the decrypted output
+    bits of ``op`` - the full pipeline in a single device dispatch
+    (keys must already be generated on ``ctx``).
+    """
+    pk: PublicKey = ctx.get_public_key()
+    sk: SecretKey = ctx.get_secret_key()
+    if pk is None or sk is None:
+        raise ValueError("context needs both keys")
+    params: Parameters = ctx.parameters
+    ctx.validate_operation(op)
+    bound = pk.max_degree
+    L = gf2.limbs_for(bound)
+    pk_bits = pk.bit_planes()
+    tau = params.tau
+    meta = {}
+
+    from ..cipher import _encrypt_core, _random_selection
+
+    @functools.partial(jax.jit)
+    def run(key, bits_a, bits_b, w):
+        ka, kb = jax.random.split(key)
+        sel_a = _random_selection(ka, tuple(bits_a.shape), tau)
+        sel_b = _random_selection(kb, tuple(bits_b.shape), tau)
+        a = Ciphered(_encrypt_core(sel_a, pk_bits, bits_a, L), bound, desc)
+        b = Ciphered(_encrypt_core(sel_b, pk_bits, bits_b, L), bound, desc)
+        out = op.unsafe_apply(a, b)
+        meta["L"] = out.limbs.shape[-1]
+        return gf2.decipher_bits(out.limbs, w)
+
+    def call(key, bits_a, bits_b):
+        # abstract-trace once to learn the output degree class, then reuse
+        if "L" not in meta:
+            def probe(key, ba, bb):
+                ka, kb = jax.random.split(key)
+                sel_a = _random_selection(ka, tuple(ba.shape), tau)
+                sel_b = _random_selection(kb, tuple(bb.shape), tau)
+                a = Ciphered(_encrypt_core(sel_a, pk_bits, ba, L), bound, desc)
+                b = Ciphered(_encrypt_core(sel_b, pk_bits, bb, L), bound, desc)
+                return op.unsafe_apply(a, b).limbs
+
+            shp = jax.eval_shape(probe, key, bits_a, bits_b)
+            meta["L"] = shp.shape[-1]
+        w = sk.decrypt_mask(meta["L"])
+        return run(key, bits_a, bits_b, w)
+
+    return call
