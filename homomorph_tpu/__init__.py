@@ -43,7 +43,7 @@ from .operations import (  # noqa: F401
     OperationRequirement,
 )
 from .params import Parameters  # noqa: F401
-from .rng import RandomSource, RecordedSource, ThreefrySource  # noqa: F401
+from .rng import OsRandomSource, RandomSource, RecordedSource, ThreefrySource  # noqa: F401
 from .utils.errors import (  # noqa: F401
     CipherError,
     ContextCryptoError,
@@ -74,6 +74,7 @@ __all__ = [
     "HomomorphicOperationN",
     "OperationRequirement",
     "RandomSource",
+    "OsRandomSource",
     "RecordedSource",
     "ThreefrySource",
     # codec

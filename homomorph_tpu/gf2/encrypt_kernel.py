@@ -30,6 +30,59 @@ from .kernels import _INTERPRET, LANES, is_tpu_backend
 U32 = jnp.uint32
 
 
+def _encrypt_kernel_v2(selw_ref, pkbits_ref, plain_ref, out_ref, *, tau: int, L: int):
+    """Full-lane variant: unpack via lane-repeat, repack via MXU matmuls.
+
+    Every intermediate is [TB, >=128] so the VPU runs at full lane
+    occupancy; the bit->limb repack is two MXU matmuls against constant
+    weight matrices (split 16/16 so all values stay exact in f32).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    TB = selw_ref.shape[0]
+    D = pkbits_ref.shape[1]
+    W = selw_ref.shape[1]
+
+    # unpack: pltpu.repeat TILES the words ([w0 w1 .. w0 w1 ..]), so column
+    # c holds word c % W; shifting by c // W extracts tau index
+    # (c % W)*32 + c // W.  The caller pre-permutes the pk rows into that
+    # order (zero rows beyond tau), so no slicing/reordering is needed here
+    # and every op is a full-lane [TB, 32*W] op.
+    rep = pltpu.repeat(selw_ref[:], 32, axis=1)  # [TB, 32*W]
+    shifts = jax.lax.broadcasted_iota(U32, (1, 32 * W), 1) // U32(W)
+    bits = (rep >> shifts) & 1
+    sel = bits.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+    counts = jnp.dot(sel, pkbits_ref[:], preferred_element_type=jnp.float32)
+    cbits = (counts.astype(jnp.int32) & 1).astype(jnp.float32)  # [TB, D]
+
+    # repack D bit-columns into L uint32 limbs with two constant-weight
+    # matmuls: column j contributes 2^(j%32) to limb j//32; low/high 16-bit
+    # halves keep every partial sum exact in f32.
+    padded = (D + 31) // 32 * 32
+    Lp = padded // 32
+    col = jax.lax.broadcasted_iota(jnp.int32, (D, Lp), 0)
+    limb = jax.lax.broadcasted_iota(jnp.int32, (D, Lp), 1)
+    k = col - limb * 32
+    in_limb = (k >= 0) & (k < 32)
+    w_lo = jnp.where(in_limb & (k < 16), (1 << jnp.maximum(k, 0)), 0).astype(
+        jnp.float32
+    )
+    kh = jnp.maximum(k - 16, 0)
+    w_hi = jnp.where(in_limb & (k >= 16), (1 << kh), 0).astype(jnp.float32)
+    lo = jnp.dot(cbits, w_lo, preferred_element_type=jnp.float32).astype(jnp.int32)
+    hi = jnp.dot(cbits, w_hi, preferred_element_type=jnp.float32).astype(jnp.int32)
+    limbs = (lo.astype(U32)) | (hi.astype(U32) << U32(16))  # [TB, Lp]
+    if Lp >= L:
+        limbs = limbs[:, :L]
+    else:
+        limbs = jnp.pad(limbs, ((0, 0), (0, L - Lp)))
+    flip = jnp.concatenate(
+        [plain_ref[:] & 1, jnp.zeros((TB, L - 1), dtype=U32)], axis=1
+    )
+    out_ref[:] = limbs ^ flip
+
+
 def _encrypt_kernel(selw_ref, pkbits_ref, plain_ref, out_ref, *, tau: int, L: int):
     # selw_ref:   [TB, W]  packed selection words (W = ceil(tau/32))
     # pkbits_ref: [tau, D] bf16 bit planes (resident)
@@ -74,8 +127,8 @@ def _encrypt_kernel(selw_ref, pkbits_ref, plain_ref, out_ref, *, tau: int, L: in
     out_ref[:] = limbs ^ flip
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _encrypt_fused(selw, pk_bits, plain, tau: int, L: int):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _encrypt_fused(selw, pk_bits, plain, tau: int, L: int, v2: bool = True):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -87,7 +140,20 @@ def _encrypt_fused(selw, pk_bits, plain, tau: int, L: int):
     while TB > 128 and (TB * D * 12 > (6 << 20) or B % TB):
         TB //= 2
     grid = (B // TB,)
-    kern = functools.partial(_encrypt_kernel, tau=tau, L=L)
+    if v2:
+        # permute pk rows into the kernel's tiled-unpack order:
+        # column c <- tau index (c % W)*32 + c // W; rows beyond tau are 0.
+        c = jnp.arange(32 * W)
+        idx = (c % W) * 32 + c // W
+        valid = idx < tau
+        pk_bits = jnp.where(
+            valid[:, None],
+            jnp.take(pk_bits, jnp.minimum(idx, tau - 1), axis=0),
+            jnp.zeros((1, D), pk_bits.dtype),
+        )
+    kern = functools.partial(
+        _encrypt_kernel_v2 if v2 else _encrypt_kernel, tau=tau, L=L
+    )
     return pl.pallas_call(
         kern,
         grid=grid,

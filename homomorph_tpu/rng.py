@@ -43,20 +43,63 @@ class RandomSource(abc.ABC):
         """Return ``n`` random bytes as a uint8 array."""
 
 
+_ROTATIONS = ((13, 15, 26, 6), (17, 29, 16, 24))
+_THREEFRY_C = np.uint32(0x1BD11BDA)
+
+
+def _threefry2x32(k0: np.uint32, k1: np.uint32, c0: np.ndarray, c1: np.ndarray):
+    """Vectorized Threefry-2x32 (20 rounds) over counter arrays.
+
+    Pure numpy so randomness never touches the device: each draw used to be
+    a tiny jax program + host transfer, and key generation makes 2*tau+1
+    sequential draws - over this environment's tunneled TPU (~30ms+ RTT per
+    transfer) that turned keygen into minutes of round-trips.  Counter-based
+    and deterministic given (seed, counter), like the jax threefry PRNG
+    (independent stream; no cross-compatibility is claimed).
+    """
+    ks = (k0, k1, _THREEFRY_C ^ k0 ^ k1)
+    x0 = (c0 + ks[0]).astype(np.uint32)
+    x1 = (c1 + ks[1]).astype(np.uint32)
+    for i in range(5):
+        for r in _ROTATIONS[i % 2]:
+            x0 = (x0 + x1).astype(np.uint32)
+            x1 = ((x1 << np.uint32(r)) | (x1 >> np.uint32(32 - r))).astype(np.uint32)
+            x1 ^= x0
+        x0 = (x0 + ks[(i + 1) % 3]).astype(np.uint32)
+        x1 = (x1 + ks[(i + 2) % 3] + np.uint32(i + 1)).astype(np.uint32)
+    return x0, x1
+
+
 class ThreefrySource(RandomSource):
-    """Deterministic counter-based source built on ``jax.random``."""
+    """Deterministic counter-based source (host-side Threefry-2x32)."""
 
     def __init__(self, seed: int):
-        import jax
-
-        self._key = jax.random.key(seed)
+        seed = int(seed) & 0xFFFFFFFFFFFFFFFF
+        self._k0 = np.uint32(seed >> 32)
+        self._k1 = np.uint32(seed & 0xFFFFFFFF)
+        self._counter = 0
 
     def draw_bytes(self, n: int) -> np.ndarray:
-        import jax
+        n_blocks = (n + 7) // 8
+        ctr = self._counter + np.arange(n_blocks, dtype=np.uint64)
+        self._counter += n_blocks
+        c0 = (ctr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        c1 = (ctr >> np.uint64(32)).astype(np.uint32)
+        x0, x1 = _threefry2x32(self._k0, self._k1, c0, c1)
+        out = np.empty((n_blocks, 2), dtype=np.uint32)
+        out[:, 0] = x0
+        out[:, 1] = x1
+        return out.reshape(-1).view(np.uint8)[:n].copy()
 
-        self._key, sub = jax.random.split(self._key)
-        words = jax.random.bits(sub, ((n + 3) // 4,), dtype=np.uint32)
-        return np.asarray(words).view(np.uint8)[:n].copy()
+
+class OsRandomSource(RandomSource):
+    """OS CSPRNG (``os.urandom``) - the analogue of the reference's
+    ``getrandom`` production source (src/polynomial.rs:87, src/cipher.rs:95)."""
+
+    def draw_bytes(self, n: int) -> np.ndarray:
+        import os
+
+        return np.frombuffer(os.urandom(n), dtype=np.uint8)
 
 
 class RecordedSource(RandomSource):
