@@ -16,6 +16,21 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The environment ships a sitecustomize that imports jax and registers the
+# axon (TPU) PJRT plugin at interpreter startup - BEFORE this conftest runs.
+# Setting env vars above is then too late: jax would resolve to the single
+# tunneled TPU and the whole suite would crawl through a ~30ms-RTT link
+# (observed: 31 min for a suite that takes ~4 min on CPU) while holding the
+# chip hostage.  Force the platform choice and drop any already-created
+# backends so the next lookup initializes the 8-device CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:  # clear any backend sitecustomize already instantiated
+    jax.clear_backends()
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
