@@ -153,7 +153,9 @@ def main() -> None:
     log(f"decipher-after-add u32: {dab_per_s:,.1f}/s batched (ref: {1/1.03e-3:,.1f}/s)")
 
     # ---- homomorphic mul u8 (benches/u8.rs config, delta=1) --------------
-    n_mul = 0 if args.quick else 32
+    # batch >= 128 fills the Pallas kernel's lane axis (the kernel dispatch
+    # threshold); throughput keeps climbing past that as the grid deepens.
+    n_mul = 0 if args.quick else 1024
     if n_mul:
         mp = hm.Parameters(128, 128, 1, 128)
         mctx = hm.Context(mp, source=hm.ThreefrySource(3))

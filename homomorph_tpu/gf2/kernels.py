@@ -104,49 +104,123 @@ _MAX_TOTAL_LIMBS = 4096
 
 _STRIP = 32  # strip width (limbs) when both operands exceed the kernel cap
 
+# smaller-operand limb count above which Karatsuba splitting beats the
+# schoolbook strips: each level turns one LxL product into three (L/2)x(L/2)
+# products (25% less limb work) plus O(L) XORs, and recursion compounds -
+# 384-limb operands (common in the multiplier circuits) do 2.4x less work.
+_KARATSUBA_MIN = 64
+
 
 def clmul(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Batched carry-less multiply with Pallas fast path.
+    """Batched carry-less multiply with Pallas + Karatsuba fast paths.
 
     Same contract as :func:`homomorph_tpu.gf2.poly.clmul`: [..., La] x
     [..., Lb] -> [..., La+Lb] with broadcast leading dims.
 
-    Large x large products (both operands beyond the kernel's unroll cap)
-    are decomposed into 32-limb strips of the smaller operand: each strip
-    runs the small x large kernel, and strip results combine with
-    static-offset XORs - total limb work is unchanged.
+    Dispatch (all decisions on static shapes, inside jit):
+
+    * both operands >= ``_KARATSUBA_MIN`` limbs and roughly balanced ->
+      recursive Karatsuba split (GF(2): the middle term is
+      ``(a0^a1)(b0^b1) ^ p0 ^ p2``, subtraction == XOR);
+    * very unbalanced large x large -> the big operand is chunked into
+      small-operand-sized pieces (XOR-combined at static offsets), each
+      balanced piece then recurses;
+    * small operand <= ``_MAX_SMALL_LIMBS`` -> the Pallas kernel (strips of
+      ``_STRIP`` limbs above that), when on a TPU backend with a batch that
+      fills the 128-wide lane axis;
+    * otherwise the pure-jnp path.
     """
     La, Lb = a.shape[-1], b.shape[-1]
     lead = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     batch = int(np.prod(lead)) if lead else 1
+    af = jnp.broadcast_to(a, lead + (La,)).reshape(batch, La)
+    bf = jnp.broadcast_to(b, lead + (Lb,)).reshape(batch, Lb)
+    out = _clmul_flat(af, bf)
+    return out.reshape(lead + (La + Lb,))
 
-    small, big = (a, b) if La <= Lb else (b, a)
-    Ls, Lg = small.shape[-1], big.shape[-1]
 
-    if not _kernel_enabled() or batch < LANES or (Ls + Lg) > _MAX_TOTAL_LIMBS:
-        return gf2.clmul_chunked(a, b)
+def _pad_cols(x: jax.Array, n: int, left: int = 0) -> jax.Array:
+    """Pad the limb axis of a flat [B, L] tensor to ``left + L + ...`` = n."""
+    L = x.shape[1]
+    return jnp.pad(x, [(0, 0), (left, n - left - L)])
 
-    af = jnp.broadcast_to(big, lead + (Lg,)).reshape(batch, Lg)
-    bf = jnp.broadcast_to(small, lead + (Ls,)).reshape(batch, Ls)
-    pad = (-batch) % LANES
+
+def _clmul_flat(af: jax.Array, bf: jax.Array) -> jax.Array:
+    """clmul on flat [B, La] x [B, Lb] -> [B, La+Lb]."""
+    B, La = af.shape
+    Lb = bf.shape[1]
+    small, big = (af, bf) if La <= Lb else (bf, af)
+    Ls, Lg = small.shape[1], big.shape[1]
+
+    if Ls >= _KARATSUBA_MIN:
+        if Lg > (3 * Ls) // 2:
+            # chunk the big operand into Ls-limb pieces at static offsets;
+            # every piece product is balanced and recurses into Karatsuba.
+            parts = []
+            for c0 in range(0, Lg, Ls):
+                w = min(Ls, Lg - c0)
+                p = _clmul_flat(big[:, c0 : c0 + w], small)  # [B, w+Ls]
+                parts.append(_pad_cols(p, Lg + Ls, left=c0))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out ^ p
+            return out
+        return _karatsuba_flat(small, big)
+
+    if not _kernel_enabled() or B < LANES or (Ls + Lg) > _MAX_TOTAL_LIMBS:
+        return gf2.clmul_chunked(af, bf)
+
+    pad = (-B) % LANES
     if pad:
-        af = jnp.pad(af, [(0, pad), (0, 0)])
-        bf = jnp.pad(bf, [(0, pad), (0, 0)])
+        big = jnp.pad(big, [(0, pad), (0, 0)])
+        small = jnp.pad(small, [(0, pad), (0, 0)])
 
     if Ls <= _MAX_SMALL_LIMBS:
-        outT = _clmul_pallas_T(af.T, bf.T, Lg, Ls)
-        out = outT.T[:batch]
-        return out.reshape(lead + (Lg + Ls,))
+        outT = _clmul_pallas_T(big.T, small.T, Lg, Ls)
+        return outT.T[:B]
 
     # strip decomposition over the smaller operand
-    aT = af.T
-    acc = jnp.zeros((Lg + Ls, af.shape[0]), dtype=jnp.uint32)
+    aT = big.T
+    acc = jnp.zeros((Lg + Ls, big.shape[0]), dtype=jnp.uint32)
     for c0 in range(0, Ls, _STRIP):
         w = min(_STRIP, Ls - c0)
-        stripT = bf[:, c0 : c0 + w].T
+        stripT = small[:, c0 : c0 + w].T
         prodT = _clmul_pallas_T(aT, stripT, Lg, w)  # [Lg + w, B]
         acc = acc.at[c0 : c0 + Lg + w, :].set(
             acc[c0 : c0 + Lg + w, :] ^ prodT
         )
-    out = acc.T[:batch]
-    return out.reshape(lead + (Lg + Ls,))
+    return acc.T[:B]
+
+
+def _karatsuba_flat(small: jax.Array, big: jax.Array) -> jax.Array:
+    """One Karatsuba level on roughly balanced flat operands.
+
+    ``small``: [B, Ls], ``big``: [B, Lg], Ls <= Lg <= 1.5*Ls.  Returns
+    [B, Ls+Lg].  With a0/a1 (b0/b1) the low/high halves at split ``h``:
+
+        a*b = p0 ^ (pm ^ p0 ^ p2) X^(32h) ^ p2 X^(64h),
+        p0 = a0*b0,  p2 = a1*b1,  pm = (a0^a1)*(b0^b1).
+
+    Sub-products recurse through :func:`_clmul_flat` (further Karatsuba
+    levels down to the Pallas kernel's small-operand base case).
+    """
+    Ls, Lg = small.shape[1], big.shape[1]
+    L = Lg
+    sp = _pad_cols(small, L)
+    h = (L + 1) // 2
+
+    a0, a1 = big[:, :h], big[:, h:]
+    b0, b1 = sp[:, :h], sp[:, h:]
+    p0 = _clmul_flat(a0, b0)  # [B, 2h]
+    p2 = _clmul_flat(a1, b1)  # [B, 2(L-h)]
+    am = a0 ^ _pad_cols(a1, h)
+    bm = b0 ^ _pad_cols(b1, h)
+    pm = _clmul_flat(am, bm)  # [B, 2h]
+
+    mid = pm ^ p0 ^ _pad_cols(p2, 2 * h)
+    out = (
+        _pad_cols(p0, 2 * L)
+        ^ _pad_cols(mid, 2 * L, left=h)
+        ^ _pad_cols(p2, 2 * L, left=2 * h)
+    )
+    return out[:, : Ls + Lg]

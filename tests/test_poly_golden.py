@@ -197,3 +197,50 @@ class TestShifts:
             dy = gf2.shift_left_dynamic(jnp.asarray(x), jnp.int32(k), out_l)
             assert as_int(st) == want, f"static k={k}"
             assert as_int(dy) == want, f"dynamic k={k}"
+
+
+class TestKernelDispatchClmul:
+    """Fuzz homomorph_tpu.gf2.kernels.clmul across its dispatch regimes.
+
+    The dispatcher picks between Karatsuba splitting (balanced >= 64-limb
+    operands), big-operand chunking (unbalanced large x large), strips, and
+    the jnp base case on static shapes only, so the CPU suite exercises the
+    same decomposition graph that runs on TPU.
+    """
+
+    SIZES = [
+        (64, 64),    # Karatsuba at the threshold
+        (65, 64),    # odd split
+        (96, 96),    # one level, base 48 (kernel cap)
+        (64, 96),    # balanced-enough (Lg = 1.5 Ls)
+        (64, 160),   # chunk path: 160 -> 64 + 64 + 32 pieces
+        (384, 384),  # three Karatsuba levels
+        (256, 384),  # chunk then Karatsuba
+        (5, 384),    # small x large (strip/jnp base)
+    ]
+
+    def test_fuzz_vs_oracle(self, rng):
+        from homomorph_tpu.gf2 import kernels as gf2k
+
+        for La, Lb in self.SIZES:
+            a = rng.integers(0, 2**32, size=(3, La), dtype=np.uint32)
+            b = rng.integers(0, 2**32, size=(3, Lb), dtype=np.uint32)
+            got = gf2k.clmul(jnp.asarray(a), jnp.asarray(b))
+            assert got.shape == (3, La + Lb)
+            for i in range(3):
+                ai = int.from_bytes(a[i].tobytes(), "little")
+                bi = int.from_bytes(b[i].tobytes(), "little")
+                gi = int.from_bytes(np.asarray(got[i]).tobytes(), "little")
+                assert gi == clmul_int(ai, bi), (La, Lb, i)
+
+    def test_scalar_lead(self, rng):
+        from homomorph_tpu.gf2 import kernels as gf2k
+
+        a = rng.integers(0, 2**32, size=70, dtype=np.uint32)
+        b = rng.integers(0, 2**32, size=66, dtype=np.uint32)
+        got = gf2k.clmul(jnp.asarray(a), jnp.asarray(b))
+        assert got.shape == (136,)
+        gi = int.from_bytes(np.asarray(got).tobytes(), "little")
+        ai = int.from_bytes(a.tobytes(), "little")
+        bi = int.from_bytes(b.tobytes(), "little")
+        assert gi == clmul_int(ai, bi)
