@@ -64,13 +64,17 @@ def _encrypt_core(
     ``sel``: [..., tau] subset indicators (uint8/bool);
     ``pk_bits``: [tau, D] bf16 bit planes; ``plain_bits``: [...] 0/1.
     Returns packed ciphertext limbs [..., out_limbs].
+
+    Counts accumulate on the MXU; they stay exact in bf16 output up to
+    tau <= 256 (bf16 integers are exact to 2^8), f32 beyond.  The
+    parity + limb pack is a second MXU matmul (:func:`gf2.parity_pack`).
     """
+    tau = pk_bits.shape[0]
+    acc = jnp.bfloat16 if tau <= 256 else jnp.float32
     counts = jnp.matmul(
-        sel.astype(jnp.bfloat16), pk_bits, preferred_element_type=jnp.float32
+        sel.astype(jnp.bfloat16), pk_bits, preferred_element_type=acc
     )
-    bits = (counts.astype(jnp.int32) & 1).astype(jnp.uint8)
-    limbs = gf2.pack_bits(bits)
-    limbs = gf2.pad_limbs(limbs, out_limbs)
+    limbs = gf2.parity_pack(counts, out_limbs)
     return gf2.xor_const_bit(limbs, plain_bits.astype(jnp.uint32))
 
 

@@ -1,24 +1,28 @@
-"""Fused Pallas encryption kernel.
+"""Batched encryption from packed selection words.
 
-Single-pass encryption of a batch of bits: unpack packed selection words ->
-MXU parity matmul against the public key's bit planes -> mod-2 -> repack ->
-XOR plaintext, all within VMEM.  Replaces a 4-pass XLA pipeline whose
-intermediates (unpacked selections [B, tau] bf16 and f32 counts [B, D])
-dominate HBM traffic:
+Pipeline: unpack packed selection words -> MXU parity matmul against the
+public key's bit planes -> mod-2 -> repack limbs -> XOR plaintext.
 
-    HBM bytes/bit  multi-pass: ~4*(tau + 4*D) + ...   fused: 4*ceil(tau/32) + 4*L + 1
+Two implementations:
 
-The public key block ([tau, D] bf16 bit planes) stays resident in VMEM
-across the whole grid (tau=128, D=288 -> 74 KB).
+* **XLA (default)**: unpack to bf16 in XLA, counts matmul, then
+  :func:`homomorph_tpu.gf2.poly.parity_pack` (a second MXU matmul doing
+  parity + limb pack in one pass).  Measured fastest - see
+  :func:`encrypt_bits_fused`.
+* **Pallas** (``HOMOMORPH_TPU_ENC_IMPL=pallas``): the single-VMEM-pass
+  kernel variants below.  Kept as a baseline: Mosaic currently lowers the
+  in-kernel word unpack at poor lane occupancy, making them ~4x slower
+  than the XLA pipeline despite lower HBM traffic.
 
 Math note: XOR over a selected subset of pk rows == per-column popcount
-parity; counts <= tau <= 65535 are exact in f32 (bf16 inputs are 0/1,
-MXU accumulates f32) - see SURVEY §7 / cipher.py.
+parity; counts are exact in bf16 up to tau <= 256 and in f32 up to 2^24
+(bf16 inputs are 0/1, MXU accumulates f32) - see SURVEY §7 / cipher.py.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -136,7 +140,7 @@ def _encrypt_fused(selw, pk_bits, plain, tau: int, L: int, v2: bool = True):
     D = pk_bits.shape[1]
     # Adaptive tile: counts f32 + cbits i32 + sel bf16 per tile must fit
     # VMEM alongside the resident pk block (~12 bytes per (row, D) element).
-    TB = 512
+    TB = int(os.environ.get("HOMOMORPH_TPU_ENC_TB", "512"))
     while TB > 128 and (TB * D * 12 > (6 << 20) or B % TB):
         TB //= 2
     grid = (B // TB,)
@@ -168,20 +172,36 @@ def _encrypt_fused(selw, pk_bits, plain, tau: int, L: int, v2: bool = True):
     )(selw, pk_bits, plain)
 
 
+_USE_PALLAS_ENC = os.environ.get("HOMOMORPH_TPU_ENC_IMPL", "xla") == "pallas"
+
+
 def encrypt_bits_fused(
     selw: jax.Array, pk_bits: jax.Array, plain: jax.Array, L: int
 ) -> jax.Array:
-    """Fused encryption of a flat bit batch.
+    """Encryption of a flat bit batch from packed selection words.
 
     ``selw``: [B, ceil(tau/32)] packed selection words; ``pk_bits``:
-    [tau, D] bf16; ``plain``: [B] 0/1.  Returns [B, L] uint32.  Falls back
-    to the multi-pass XLA path off-TPU or for small/ragged batches.
+    [tau, D] bf16; ``plain``: [B] 0/1.  Returns [B, L] uint32.
+
+    Default path is pure XLA: unpack straight to bf16, one MXU matmul for
+    the counts, one MXU matmul for parity + limb pack.  Measured on a v5e:
+    the XLA pipeline beats the handwritten Pallas kernel above ~4x (28.5 ms
+    -> 5.8 ms for 2^21 bits) - Mosaic lowers the in-kernel word-unpack
+    poorly (a [TB, W] block uses W/128 of the lane axis), while XLA fuses
+    the unpack into full-lane ops and pipelines the two matmuls.  The
+    Pallas kernel is kept (``HOMOMORPH_TPU_ENC_IMPL=pallas``) as the
+    baseline for future Mosaic revisions.
     """
     tau = pk_bits.shape[0]
     B = selw.shape[0]
-    if (_INTERPRET or is_tpu_backend()) and B % 128 == 0 and B > 0:
+    if (
+        _USE_PALLAS_ENC
+        and (_INTERPRET or is_tpu_backend())
+        and B % 128 == 0
+        and B > 0
+    ):
         return _encrypt_fused(selw, pk_bits, plain[:, None].astype(U32), tau, L)
-    sel = gf2.unpack_bits(selw, tau)
     from ..cipher import _encrypt_core
 
+    sel = gf2.unpack_bits(selw, tau, dtype=jnp.bfloat16)
     return _encrypt_core(sel, pk_bits, plain, L)

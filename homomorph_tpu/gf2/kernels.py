@@ -108,7 +108,11 @@ _STRIP = 32  # strip width (limbs) when both operands exceed the kernel cap
 # schoolbook strips: each level turns one LxL product into three (L/2)x(L/2)
 # products (25% less limb work) plus O(L) XORs, and recursion compounds -
 # 384-limb operands (common in the multiplier circuits) do 2.4x less work.
+# TPU-only: on XLA:CPU the unrolled 3^k-subcall recursion balloons compile
+# time far past the compute it saves (tests set FORCE_KARATSUBA for
+# coverage).
 _KARATSUBA_MIN = 64
+FORCE_KARATSUBA = os.environ.get("HOMOMORPH_TPU_FORCE_KARATSUBA", "0") == "1"
 
 
 def clmul(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -152,7 +156,7 @@ def _clmul_flat(af: jax.Array, bf: jax.Array) -> jax.Array:
     small, big = (af, bf) if La <= Lb else (bf, af)
     Ls, Lg = small.shape[1], big.shape[1]
 
-    if Ls >= _KARATSUBA_MIN:
+    if Ls >= _KARATSUBA_MIN and (_kernel_enabled() or FORCE_KARATSUBA):
         if Lg > (3 * Ls) // 2:
             # chunk the big operand into Ls-limb pieces at static offsets;
             # every piece product is balanced and recurses into Karatsuba.

@@ -393,16 +393,53 @@ def rem_linear(c: jax.Array, rows: jax.Array) -> jax.Array:
 # --------------------------------------------------------------------------
 
 
-def unpack_bits(limbs: jax.Array, n_bits: int) -> jax.Array:
-    """[..., L] limbs -> [..., n_bits] of 0/1 uint8, LSB-first."""
+def unpack_bits(limbs: jax.Array, n_bits: int, dtype=jnp.uint8) -> jax.Array:
+    """[..., L] limbs -> [..., n_bits] of 0/1 ``dtype``, LSB-first."""
     L = limbs.shape[-1]
     need = -(-n_bits // LIMB_BITS)
     x = pad_limbs(limbs, max(L, need))[..., :need]
     shifts = jnp.arange(LIMB_BITS, dtype=U32)
     bits = (x[..., :, None] >> shifts) & 1
     return bits.reshape(*limbs.shape[:-1], need * LIMB_BITS)[..., :n_bits].astype(
-        jnp.uint8
+        dtype
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_weights(D: int) -> np.ndarray:
+    """[D, 2*Lp] f32 numpy constant: bit-column j contributes 2^(j%32) to
+    limb j//32, split into low/high 16-bit halves so every MXU partial sum
+    stays exact in f32 (<= sum of 2^k for k < 16 = 65535 << 2^24).  Kept as
+    numpy (converted per trace) so the cache never captures a tracer."""
+    padded = -(-D // LIMB_BITS) * LIMB_BITS
+    Lp = padded // LIMB_BITS
+    col = np.arange(D)[:, None]
+    limb = np.arange(Lp)[None, :]
+    k = col - limb * LIMB_BITS
+    in_limb = (k >= 0) & (k < LIMB_BITS)
+    w_lo = np.where(in_limb & (k < 16), 1 << np.maximum(k, 0), 0)
+    w_hi = np.where(in_limb & (k >= 16), 1 << np.maximum(k - 16, 0), 0)
+    return np.concatenate([w_lo, w_hi], axis=1).astype(np.float32)
+
+
+def parity_pack(counts: jax.Array, out_limbs: int) -> jax.Array:
+    """Integer-valued ``counts`` [..., D] -> packed parity limbs [..., out_limbs].
+
+    Takes each column's count mod 2 and packs the resulting bit-columns into
+    uint32 limbs with ONE MXU matmul against a constant weight matrix
+    (powers of two are bf16-exact; f32 accumulation keeps the 16-bit halves
+    exact).  This is the pack stage of the encrypt path and of
+    :func:`rem_linear` - measured ~2x faster end-to-end than the
+    shift-multiply-reduce pack on the VPU.
+    """
+    D = counts.shape[-1]
+    Lp = -(-D // LIMB_BITS)
+    cbits = (counts.astype(jnp.int32) & 1).astype(jnp.bfloat16)
+    w = jnp.asarray(_pack_weights(D), dtype=jnp.bfloat16)
+    lohi = jnp.matmul(cbits, w, preferred_element_type=jnp.float32)
+    lohi = lohi.astype(jnp.int32)
+    limbs = lohi[..., :Lp].astype(U32) | (lohi[..., Lp:].astype(U32) << U32(16))
+    return fit_limbs(limbs, out_limbs)
 
 
 def pack_bits(bits: jax.Array) -> jax.Array:

@@ -35,8 +35,7 @@ def _encrypt_local(sel, pk_bits, plain_bits, out_limbs: int):
         sel.astype(jnp.bfloat16), pk_bits, preferred_element_type=jnp.float32
     )
     counts = jax.lax.psum(part, TAU_AXIS)
-    bits = (counts.astype(jnp.int32) & 1).astype(jnp.uint8)
-    limbs = gf2.pad_limbs(gf2.pack_bits(bits), out_limbs)
+    limbs = gf2.parity_pack(counts, out_limbs)
     return gf2.xor_const_bit(limbs, plain_bits.astype(jnp.uint32))
 
 

@@ -219,9 +219,12 @@ class TestKernelDispatchClmul:
         (5, 384),    # small x large (strip/jnp base)
     ]
 
-    def test_fuzz_vs_oracle(self, rng):
+    def test_fuzz_vs_oracle(self, rng, monkeypatch):
         from homomorph_tpu.gf2 import kernels as gf2k
 
+        # Karatsuba is gated to TPU backends (XLA:CPU compile cost);
+        # force it here so the CPU suite covers the decomposition graph.
+        monkeypatch.setattr(gf2k, "FORCE_KARATSUBA", True)
         for La, Lb in self.SIZES:
             a = rng.integers(0, 2**32, size=(3, La), dtype=np.uint32)
             b = rng.integers(0, 2**32, size=(3, Lb), dtype=np.uint32)
@@ -233,9 +236,10 @@ class TestKernelDispatchClmul:
                 gi = int.from_bytes(np.asarray(got[i]).tobytes(), "little")
                 assert gi == clmul_int(ai, bi), (La, Lb, i)
 
-    def test_scalar_lead(self, rng):
+    def test_scalar_lead(self, rng, monkeypatch):
         from homomorph_tpu.gf2 import kernels as gf2k
 
+        monkeypatch.setattr(gf2k, "FORCE_KARATSUBA", True)
         a = rng.integers(0, 2**32, size=70, dtype=np.uint32)
         b = rng.integers(0, 2**32, size=66, dtype=np.uint32)
         got = gf2k.clmul(jnp.asarray(a), jnp.asarray(b))
