@@ -379,13 +379,12 @@ def rem_linear(c: jax.Array, rows: jax.Array) -> jax.Array:
     L = c.shape[-1]
     n_bits = bit_capacity(L)
     assert rows.shape[0] >= n_bits
-    c_bits = unpack_bits(c, n_bits).astype(jnp.bfloat16)
-    rows_bits = unpack_bits(rows[:n_bits], bit_capacity(rows.shape[-1])).astype(
-        jnp.bfloat16
+    c_bits = unpack_bits(c, n_bits, dtype=jnp.bfloat16)
+    rows_bits = unpack_bits(
+        rows[:n_bits], bit_capacity(rows.shape[-1]), dtype=jnp.bfloat16
     )
     counts = jnp.dot(c_bits, rows_bits, preferred_element_type=jnp.float32)
-    bits = (counts.astype(jnp.int32) & 1).astype(jnp.uint8)
-    return pack_bits(bits)
+    return parity_pack(counts, rows.shape[-1])
 
 
 # --------------------------------------------------------------------------
