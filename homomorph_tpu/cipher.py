@@ -279,6 +279,34 @@ class Ciphered:
     try_cipher = cipher  # error surface is exceptions either way
 
     @classmethod
+    def trivial(
+        cls,
+        data: Any,
+        desc: _codec.TypeDescriptor | None = None,
+        *,
+        batch: bool = False,
+    ) -> "Ciphered":
+        """Unencrypted (trivial) ciphertext of a plaintext value.
+
+        Lifts the reference's trivial bit ciphers ``zero``/``one``
+        (src/cipher.rs:33-51) to whole values: bit ``i`` of the encoding
+        becomes ``monomial(0)`` or the null polynomial.  Useful for mixing
+        public constants into homomorphic circuits (e.g. ``x + 42``)
+        without touching the public key.  Degree bound 0.
+        """
+        values = list(data) if batch else [data]
+        if desc is None:
+            desc = _codec.descriptor_for(values[0])
+        payload = b"".join(desc.encode(v) for v in values)
+        bits = np.unpackbits(
+            np.frombuffer(payload, dtype=np.uint8), bitorder="little"
+        ).reshape(len(values), desc.num_bits)
+        limbs = jnp.asarray(bits.astype(np.uint32))[..., None]  # [B, n, 1]
+        if not batch:
+            limbs = limbs[0]
+        return cls(limbs, 0, desc)
+
+    @classmethod
     def new_from_raw(
         cls, bits: "Sequence[CipheredBit] | jax.Array", desc: _codec.TypeDescriptor,
         bound: int | None = None,

@@ -4,8 +4,11 @@ from . import circuits, numbers  # noqa: F401
 from .numbers import (  # noqa: F401
     HomomorphicAddition,
     HomomorphicAndGate,
+    HomomorphicEquality,
     HomomorphicMultiplication,
+    HomomorphicNegation,
     HomomorphicNotGate,
     HomomorphicOrGate,
+    HomomorphicSubtraction,
     HomomorphicXorGate,
 )

@@ -28,6 +28,9 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax.numpy as jnp
+
+from .. import codec as _codec
 from ..cipher import Ciphered, CipheredBit
 from ..gf2 import kernels as gf2k
 from ..gf2 import poly as gf2
@@ -39,6 +42,9 @@ __all__ = [
     "gate_not",
     "add",
     "add_lanes",
+    "sub",
+    "neg",
+    "eq",
     "mul_unsigned",
     "mul_unsigned_lanes",
     "mul_signed",
@@ -85,13 +91,20 @@ def gate_not(a: Ciphered) -> Ciphered:
 # --------------------------------------------------------------------------
 
 
-def add_lanes(a: Sequence[CipheredBit], b: Sequence[CipheredBit]) -> list[CipheredBit]:
+def add_lanes(
+    a: Sequence[CipheredBit],
+    b: Sequence[CipheredBit],
+    carry_in: CipheredBit | None = None,
+) -> list[CipheredBit]:
     """Wrap-around ripple-carry sum of equal-length lane lists.
 
     Per-bit recurrence (common.rs:43-53):
       ``s_i = a_i ^ b_i ^ c``;
       ``t = (a_i ^ b_i) & c``; ``c' = t ^ (a_i & b_i & (t ^ 1))``.
     The final carry is dropped (wrapping semantics, common.rs:47-49).
+    ``carry_in`` seeds the chain (default: trivial zero) - with the
+    one-complemented second operand and ``carry_in = one`` this computes
+    two's-complement subtraction (see :func:`sub`).
     """
     n = min(len(a), len(b))
     xs = [a[i].xor(b[i]) for i in range(n)]
@@ -99,7 +112,7 @@ def add_lanes(a: Sequence[CipheredBit], b: Sequence[CipheredBit]) -> list[Cipher
     # c' = g ^ m*c with m = x*(g^1): polynomial-identical to the reference
     # recurrence but with one multiply on the sequential path (see add()).
     ms = [xs[i].and_(gs[i].not_()) for i in range(n)]
-    carry = CipheredBit.zero(a[0].batch_shape if n else ())
+    carry = carry_in or CipheredBit.zero(a[0].batch_shape if n else ())
     out: list[CipheredBit] = []
     for i in range(n):
         out.append(xs[i].xor(carry))
@@ -109,7 +122,7 @@ def add_lanes(a: Sequence[CipheredBit], b: Sequence[CipheredBit]) -> list[Cipher
     return out
 
 
-def add(a: Ciphered, b: Ciphered) -> Ciphered:
+def add(a: Ciphered, b: Ciphered, carry_in: CipheredBit | None = None) -> Ciphered:
     """Homomorphic addition; output length = ``len(a)`` (common.rs:58-64).
 
     Produces polynomials IDENTICAL to the reference's per-bit recurrence
@@ -135,7 +148,7 @@ def add(a: Ciphered, b: Ciphered) -> Ciphered:
     xs = [x_all[i] for i in range(n)]
     gs = [g_all[i] for i in range(n)]
     ms = [CipheredBit(m_limbs[..., i, :], m_bound) for i in range(n)]
-    carry = CipheredBit.zero(a.batch_shape)
+    carry = carry_in or CipheredBit.zero(a.batch_shape)
     out: list[CipheredBit] = []
     for i in range(n):
         out.append(xs[i].xor(carry))
@@ -143,6 +156,67 @@ def add(a: Ciphered, b: Ciphered) -> Ciphered:
             break
         carry = gs[i].xor(ms[i].and_(carry))
     return Ciphered.new_from_raw(out, a.desc)
+
+
+def sub(a: Ciphered, b: Ciphered) -> Ciphered:
+    """Wrapping two's-complement subtraction ``a - b`` (extension beyond
+    the reference's op set): ``a + ~b + 1`` via the ripple-carry adder
+    with a complemented second operand and a trivial-one carry-in.
+    Identical degree growth to :func:`add` (NOT is degree-free)."""
+    return add(a, gate_not(b), carry_in=CipheredBit.one(a.batch_shape))
+
+
+def neg(a: Ciphered) -> Ciphered:
+    """Wrapping two's-complement negation ``-a`` (extension): ``~a + 1``.
+
+    Specializing the adder to the constant operand collapses the carry
+    recurrence to prefix products: with ``x_i = ~a_i`` and ``c_0 = 1``,
+    ``out_i = x_i ^ c_i`` and ``c_{i+1} = x_i * c_i`` - one carry-less
+    multiply per bit position and no ``g``/``m`` lanes at all.
+    """
+    x_limbs = gf2.xor_const_bit(a.limbs, 1)
+    n = len(a)
+    xs = [CipheredBit(x_limbs[..., i, :], a.bound) for i in range(n)]
+    carry = CipheredBit.one(a.batch_shape)
+    out: list[CipheredBit] = []
+    for i in range(n):
+        out.append(xs[i].xor(carry))
+        if i + 1 >= n:
+            break
+        carry = xs[i].and_(carry)
+    return Ciphered.new_from_raw(out, a.desc)
+
+
+def eq(a: Ciphered, b: Ciphered) -> Ciphered:
+    """Homomorphic equality test (extension): ``Ciphered[Bool]`` that
+    deciphers to ``a == b``.
+
+    Circuit: lane-wise XNOR (affine - no degree growth), then a balanced
+    AND-reduction tree over the lane axis.  Tree shape keeps operands
+    degree-balanced (Karatsuba-friendly) and the sequential depth at
+    ``log2 n``; the output degree bound is ``n * max(bound_a, bound_b)``
+    regardless of shape.  Output lanes 1..7 are trivial zeros (a bincode
+    bool is one byte, bit 0 = value).
+    """
+    xn = gf2.xor_const_bit(gf2.xor(a.limbs, b.limbs), 1)
+    bound = max(a.bound, b.bound)
+    cur = xn
+    n = cur.shape[-2]
+    while n > 1:
+        half = n // 2
+        lo, hi = cur[..., :half, :], cur[..., half : 2 * half, :]
+        prod = gf2k.clmul(lo, hi)
+        bound = bound * 2
+        prod = gf2.fit_limbs(prod, gf2.bucket(gf2.limbs_for(bound)))
+        if n % 2:
+            odd = gf2.pad_limbs(cur[..., -1:, :], prod.shape[-1])
+            prod = jnp.concatenate([prod, odd], axis=-2)
+        cur = prod
+        n = cur.shape[-2]
+    res = cur
+    zeros = jnp.zeros(res.shape[:-2] + (7, res.shape[-1]), dtype=res.dtype)
+    limbs = jnp.concatenate([res, zeros], axis=-2)
+    return Ciphered(limbs, bound, _codec.Bool)
 
 
 # --------------------------------------------------------------------------

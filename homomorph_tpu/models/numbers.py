@@ -14,6 +14,10 @@ HomomorphicAddition        21                ripple-carry  (common.rs:37-64)
 HomomorphicMultiplication  64 (conservative) column mult   (common.rs:66-163)
 =========================  ================  =============================
 
+Extensions NOT in the reference (same trait machinery, see class docs):
+``HomomorphicSubtraction`` (21), ``HomomorphicNegation`` (21),
+``HomomorphicEquality`` (64, conservative; exact requirement = bit width).
+
 Where the reference binds these to each primitive type via macros
 (src/impls/numbers/uint.rs, int.rs), here a single implementation covers
 every width; signed multiplication is selected by the ciphered value's type
@@ -35,6 +39,9 @@ __all__ = [
     "HomomorphicNotGate",
     "HomomorphicAddition",
     "HomomorphicMultiplication",
+    "HomomorphicSubtraction",
+    "HomomorphicNegation",
+    "HomomorphicEquality",
 ]
 
 
@@ -90,3 +97,55 @@ class HomomorphicMultiplication(HomomorphicOperation2):
         if signed:
             return circuits.mul_signed(a, b)
         return circuits.mul_unsigned(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Extensions beyond the reference's op set (same trait machinery)
+# ---------------------------------------------------------------------------
+
+
+class HomomorphicSubtraction(HomomorphicOperation2):
+    """Wrapping two's-complement ``a - b`` (not in the reference).
+
+    Same circuit shape as :class:`HomomorphicAddition` (``a + ~b + 1``;
+    NOT is degree-free), hence the same requirement.
+    """
+
+    MIN_D_OVER_DELTA = 21
+
+    @staticmethod
+    def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
+        return circuits.sub(a, b)
+
+
+class HomomorphicNegation(HomomorphicOperation1):
+    """Wrapping two's-complement ``-a`` (not in the reference).
+
+    The constant-operand adder specialization: strictly cheaper and
+    lower-degree than a full addition, so the addition requirement is a
+    safe (conservative) bound.
+    """
+
+    MIN_D_OVER_DELTA = 21
+
+    @staticmethod
+    def unsafe_apply(a: Ciphered) -> Ciphered:
+        return circuits.neg(a)
+
+
+class HomomorphicEquality(HomomorphicOperation2):
+    """``a == b`` as a ``Ciphered[Bool]`` (not in the reference).
+
+    Lane-wise XNOR + AND-reduction tree: the exact requirement is the
+    plaintext bit width (boolean degree ``n`` - XNOR lanes are affine);
+    64 is a conservative class default covering every type up to
+    u64/i64, following the reference's convention for multiplication
+    (src/impls/numbers.rs:47-50).  For u128/i128 use ``unsafe_apply``
+    after checking ``d/delta >= 128`` yourself.
+    """
+
+    MIN_D_OVER_DELTA = 64
+
+    @staticmethod
+    def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
+        return circuits.eq(a, b)

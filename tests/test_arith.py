@@ -162,3 +162,84 @@ class TestExtensive:
         ctx = make_ctx(128, 64, 1, 64, seed=8)
         a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(7, hm.U8)
         assert ctx.decrypt(ctx.apply2(HomomorphicMultiplication, a, b)) == 42
+
+
+class TestExtensions:
+    """Ops beyond the reference's set: sub / neg / eq / trivial constants."""
+
+    @pytest.fixture(scope="class")
+    def ctx(self):
+        import homomorph_tpu as hm
+
+        c = hm.Context(hm.Parameters(64, 16, 1, 16), encrypt_seed=11)
+        c.generate_secret_key()
+        c.generate_public_key()
+        return c
+
+    def test_subtraction(self, ctx):
+        import homomorph_tpu as hm
+        from homomorph_tpu.models import HomomorphicSubtraction
+
+        a = ctx.encrypt([200, 7, 0, 13], hm.U8, batch=True)
+        b = ctx.encrypt([58, 9, 1, 13], hm.U8, batch=True)
+        got = ctx.decrypt(ctx.apply2(HomomorphicSubtraction, a, b))
+        want = [(200 - 58) & 0xFF, (7 - 9) & 0xFF, (0 - 1) & 0xFF, 0]
+        assert [int(v) for v in got] == want
+
+    def test_subtraction_signed(self, ctx):
+        import homomorph_tpu as hm
+        from homomorph_tpu.models import HomomorphicSubtraction
+
+        a = ctx.encrypt([-5, 100], hm.I8, batch=True)
+        b = ctx.encrypt([7, -27], hm.I8, batch=True)
+        got = ctx.decrypt(ctx.apply2(HomomorphicSubtraction, a, b))
+        assert [int(v) for v in got] == [-12, 127]
+
+    def test_negation(self, ctx):
+        import homomorph_tpu as hm
+        from homomorph_tpu.models import HomomorphicNegation
+
+        a = ctx.encrypt([-5, 0, 42, -128], hm.I8, batch=True)
+        got = ctx.decrypt(ctx.apply1(HomomorphicNegation, a))
+        assert [int(v) for v in got] == [5, 0, -42, -128]  # -(-128) wraps
+
+    def test_equality(self, ctx):
+        import homomorph_tpu as hm
+        from homomorph_tpu.models import HomomorphicEquality
+
+        a = ctx.encrypt([42, 42, 0, 255], hm.U8, batch=True)
+        b = ctx.encrypt([42, 43, 0, 254], hm.U8, batch=True)
+        got = ctx.decrypt(ctx.apply2(HomomorphicEquality, a, b))
+        assert [bool(v) for v in got] == [True, False, True, False]
+
+    def test_equality_requires_d_over_delta(self):
+        import homomorph_tpu as hm
+        from homomorph_tpu.models import HomomorphicEquality
+        from homomorph_tpu.utils.errors import InvalidParametersError
+
+        c = hm.Context(hm.Parameters(32, 8, 1, 8), encrypt_seed=3)
+        c.generate_secret_key()
+        c.generate_public_key()
+        a = c.encrypt(1, hm.U8)
+        b = c.encrypt(1, hm.U8)
+        with pytest.raises(InvalidParametersError):
+            c.apply2(HomomorphicEquality, a, b)
+
+    def test_trivial_constant_mix(self, ctx):
+        """Public constants mix into circuits without the public key."""
+        import homomorph_tpu as hm
+        from homomorph_tpu.cipher import Ciphered
+        from homomorph_tpu.models import circuits
+
+        a = ctx.encrypt([10, 250], hm.U8, batch=True)
+        k = Ciphered.trivial(32, hm.U8)
+        got = circuits.add(a, k).decipher(ctx.get_secret_key())
+        assert [int(v) for v in got] == [42, (250 + 32) & 0xFF]
+
+    def test_trivial_roundtrip_no_keys(self, ctx):
+        import homomorph_tpu as hm
+        from homomorph_tpu.cipher import Ciphered
+
+        t = Ciphered.trivial([1, 2, 3], hm.U16, batch=True)
+        got = t.decipher(ctx.get_secret_key())
+        assert [int(v) for v in got] == [1, 2, 3]
