@@ -5,6 +5,8 @@ from .numbers import (  # noqa: F401
     HomomorphicAddition,
     HomomorphicAndGate,
     HomomorphicEquality,
+    HomomorphicGreaterThan,
+    HomomorphicLessThan,
     HomomorphicMultiplication,
     HomomorphicNegation,
     HomomorphicNotGate,

@@ -45,6 +45,11 @@ __all__ = [
     "sub",
     "neg",
     "eq",
+    "lt",
+    "gt",
+    "le",
+    "ge",
+    "select",
     "mul_unsigned",
     "mul_unsigned_lanes",
     "mul_signed",
@@ -164,6 +169,77 @@ def sub(a: Ciphered, b: Ciphered) -> Ciphered:
     with a complemented second operand and a trivial-one carry-in.
     Identical degree growth to :func:`add` (NOT is degree-free)."""
     return add(a, gate_not(b), carry_in=CipheredBit.one(a.batch_shape))
+
+
+def _adder_carry_out(a: Ciphered, b: Ciphered, carry: CipheredBit) -> CipheredBit:
+    """Final carry out of the full ``len(a)``-bit ripple chain.
+
+    Same ``c' = g ^ m*c`` recurrence as :func:`add`, run through ALL n
+    positions (``add`` drops the last update for wrapping semantics)."""
+    x_all = gate_xor(a, b)
+    g_all = gate_and(a, b)
+    m_limbs = gf2k.clmul(x_all.limbs, gf2.xor_const_bit(g_all.limbs, 1))
+    m_bound = x_all.bound + g_all.bound
+    m_limbs = gf2.fit_limbs(m_limbs, gf2.bucket(gf2.limbs_for(m_bound)))
+    for i in range(len(a)):
+        m_i = CipheredBit(m_limbs[..., i, :], m_bound)
+        carry = g_all[i].xor(m_i.and_(carry))
+    return carry
+
+
+def _bool_out(bit: CipheredBit) -> Ciphered:
+    """Wrap a single ciphered bit as ``Ciphered[Bool]`` (lanes 1..7 are
+    trivial zeros; a bincode bool is one byte, bit 0 = value)."""
+    res = bit.limbs[..., None, :]
+    zeros = jnp.zeros(res.shape[:-2] + (7, res.shape[-1]), dtype=res.dtype)
+    return Ciphered(
+        jnp.concatenate([res, zeros], axis=-2), bit.bound, _codec.Bool
+    )
+
+
+def lt(a: Ciphered, b: Ciphered) -> Ciphered:
+    """Unsigned ``a < b`` as ``Ciphered[Bool]`` (extension).
+
+    Borrow-chain comparison: the carry out of the full-width
+    ``a + ~b + 1`` is the NOT-borrow, so ``a < b = NOT carry_out``.
+    For signed operands flip both sign bits first (or compare
+    ``a - b < 0`` via the sum's top bit).
+    """
+    carry = _adder_carry_out(a, gate_not(b), CipheredBit.one(a.batch_shape))
+    return _bool_out(carry.not_())
+
+
+def gt(a: Ciphered, b: Ciphered) -> Ciphered:
+    """Unsigned ``a > b`` as ``Ciphered[Bool]`` (extension)."""
+    return lt(b, a)
+
+
+def le(a: Ciphered, b: Ciphered) -> Ciphered:
+    """Unsigned ``a <= b``: NOT (b < a)."""
+    carry = _adder_carry_out(b, gate_not(a), CipheredBit.one(a.batch_shape))
+    return _bool_out(carry)
+
+
+def ge(a: Ciphered, b: Ciphered) -> Ciphered:
+    """Unsigned ``a >= b``: NOT (a < b)."""
+    carry = _adder_carry_out(a, gate_not(b), CipheredBit.one(a.batch_shape))
+    return _bool_out(carry)
+
+
+def select(cond: CipheredBit, a: Ciphered, b: Ciphered) -> Ciphered:
+    """Homomorphic mux (extension): ``cond ? a : b``, lane-parallel.
+
+    ``out_i = b_i ^ cond * (a_i ^ b_i)`` - one batched carry-less multiply
+    over all lanes.  ``cond`` is a single ciphered bit (e.g. lane 0 of an
+    :func:`eq`/:func:`lt` result, or a ``CipheredBit`` trivial constant).
+    """
+    x = gf2.xor(a.limbs, b.limbs)
+    prod = gf2k.clmul(cond.limbs[..., None, :], x)
+    bound = max(b.bound, cond.bound + max(a.bound, b.bound))
+    out = gf2.xor(gf2.pad_limbs(b.limbs, prod.shape[-1]), prod)
+    return Ciphered(
+        gf2.fit_limbs(out, gf2.bucket(gf2.limbs_for(bound))), bound, a.desc
+    )
 
 
 def neg(a: Ciphered) -> Ciphered:

@@ -16,7 +16,9 @@ HomomorphicMultiplication  64 (conservative) column mult   (common.rs:66-163)
 
 Extensions NOT in the reference (same trait machinery, see class docs):
 ``HomomorphicSubtraction`` (21), ``HomomorphicNegation`` (21),
-``HomomorphicEquality`` (64, conservative; exact requirement = bit width).
+``HomomorphicEquality`` (64, conservative; exact requirement = bit width),
+``HomomorphicLessThan`` / ``HomomorphicGreaterThan`` (21, unsigned
+borrow-chain comparison); plus ``circuits.le``/``ge``/``select`` (mux).
 
 Where the reference binds these to each primitive type via macros
 (src/impls/numbers/uint.rs, int.rs), here a single implementation covers
@@ -42,6 +44,8 @@ __all__ = [
     "HomomorphicSubtraction",
     "HomomorphicNegation",
     "HomomorphicEquality",
+    "HomomorphicLessThan",
+    "HomomorphicGreaterThan",
 ]
 
 
@@ -131,6 +135,31 @@ class HomomorphicNegation(HomomorphicOperation1):
     @staticmethod
     def unsafe_apply(a: Ciphered) -> Ciphered:
         return circuits.neg(a)
+
+
+class HomomorphicLessThan(HomomorphicOperation2):
+    """Unsigned ``a < b`` as ``Ciphered[Bool]`` (not in the reference).
+
+    The adder's borrow chain run to the final carry - one more step of the
+    same ``c' = g ^ m*c`` recurrence as :class:`HomomorphicAddition`, so it
+    shares that operation's published requirement.
+    """
+
+    MIN_D_OVER_DELTA = 21
+
+    @staticmethod
+    def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
+        return circuits.lt(a, b)
+
+
+class HomomorphicGreaterThan(HomomorphicOperation2):
+    """Unsigned ``a > b`` as ``Ciphered[Bool]`` (not in the reference)."""
+
+    MIN_D_OVER_DELTA = 21
+
+    @staticmethod
+    def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
+        return circuits.gt(a, b)
 
 
 class HomomorphicEquality(HomomorphicOperation2):

@@ -243,3 +243,40 @@ class TestExtensions:
         t = Ciphered.trivial([1, 2, 3], hm.U16, batch=True)
         got = t.decipher(ctx.get_secret_key())
         assert [int(v) for v in got] == [1, 2, 3]
+
+    def test_comparisons(self, ctx):
+        import homomorph_tpu as hm
+        from homomorph_tpu.models import HomomorphicGreaterThan, HomomorphicLessThan
+
+        a = ctx.encrypt([5, 200, 7, 0], hm.U8, batch=True)
+        b = ctx.encrypt([9, 200, 3, 255], hm.U8, batch=True)
+        lt = ctx.decrypt(ctx.apply2(HomomorphicLessThan, a, b))
+        gt = ctx.decrypt(ctx.apply2(HomomorphicGreaterThan, a, b))
+        assert [bool(v) for v in lt] == [True, False, False, True]
+        assert [bool(v) for v in gt] == [False, False, True, False]
+
+    def test_le_ge(self, ctx):
+        import homomorph_tpu as hm
+        from homomorph_tpu.models import circuits
+
+        sk = ctx.get_secret_key()
+        a = ctx.encrypt([5, 200, 7], hm.U8, batch=True)
+        b = ctx.encrypt([9, 200, 3], hm.U8, batch=True)
+        le = circuits.le(a, b).decipher(sk)
+        ge = circuits.ge(a, b).decipher(sk)
+        assert [bool(v) for v in le] == [True, True, False]
+        assert [bool(v) for v in ge] == [False, True, True]
+
+    def test_select(self, ctx):
+        import homomorph_tpu as hm
+        from homomorph_tpu.models import circuits
+
+        sk = ctx.get_secret_key()
+        a = ctx.encrypt([10, 20], hm.U8, batch=True)
+        b = ctx.encrypt([30, 40], hm.U8, batch=True)
+        cond = circuits.lt(a, b)  # both True
+        got = circuits.select(cond[0], a, b).decipher(sk)
+        assert [int(v) for v in got] == [10, 20]
+        cond2 = circuits.gt(a, b)  # both False
+        got2 = circuits.select(cond2[0], a, b).decipher(sk)
+        assert [int(v) for v in got2] == [30, 40]
