@@ -1,6 +1,6 @@
 """Shipped homomorphic operation library (the reference's ``impls`` layer)."""
 
-from . import circuits, numbers  # noqa: F401
+from . import circuits, compiled, numbers  # noqa: F401
 from .numbers import (  # noqa: F401
     HomomorphicAddition,
     HomomorphicAndGate,
