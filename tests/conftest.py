@@ -31,6 +31,19 @@ try:  # clear any backend sitecustomize already instantiated
 except Exception:
     pass
 
+# Persistent XLA compilation cache: the suite's cost is dominated by CPU
+# compiles of the circuit shapes (hundreds of distinct degree-class shapes
+# on a 2-vCPU runner).  Caching them across runs turns re-runs from ~45 min
+# into minutes.  The cache dir is repo-local and gitignored.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+try:
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
