@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 from .. import codec as _codec
 from ..cipher import Ciphered, CipheredBit
@@ -138,9 +139,13 @@ def add(a: Ciphered, b: Ciphered, carry_in: CipheredBit | None = None) -> Cipher
 
     where ``m_i = x_i * (g_i ^ 1)`` depends only on the inputs.  All
     ``x_i``, ``g_i``, ``m_i`` lanes are computed as three whole-tensor
-    batched ops up front; the inherently sequential carry chain then needs
-    ONE carry-less multiply per bit position (the reference's formulation
-    needs two on the critical path).
+    batched ops up front; the carry chain ``c' = g ^ m*c`` is then an
+    affine GF(2)[X] recurrence.  For narrow words it runs as a ripple
+    (one carry-less multiply per bit position); for ``n >= 16`` it runs
+    as a blocked parallel-prefix scan (:func:`_affine_carry_scan`) -
+    the ring is commutative/associative, so the regrouped evaluation
+    yields bit-identical ciphertext polynomials with ~3x fewer
+    sequential device stages.
     """
     x_all = gate_xor(a, b)
     g_all = gate_and(a, b)
@@ -150,10 +155,21 @@ def add(a: Ciphered, b: Ciphered, carry_in: CipheredBit | None = None) -> Cipher
     m_limbs = gf2.fit_limbs(m_limbs, gf2.bucket(gf2.limbs_for(m_bound)))
 
     n = len(a)
+    carry = carry_in or CipheredBit.zero(a.batch_shape)
+    if n >= 16:
+        carries = _affine_carry_scan(
+            g_all.limbs[..., : n - 1, :],
+            g_all.bound,
+            m_limbs[..., : n - 1, :],
+            m_bound,
+            carry,
+        )
+        out = [x_all[i].xor(c) for i, c in enumerate(carries)]
+        return Ciphered.new_from_raw(out, a.desc)
+
     xs = [x_all[i] for i in range(n)]
     gs = [g_all[i] for i in range(n)]
     ms = [CipheredBit(m_limbs[..., i, :], m_bound) for i in range(n)]
-    carry = carry_in or CipheredBit.zero(a.batch_shape)
     out: list[CipheredBit] = []
     for i in range(n):
         out.append(xs[i].xor(carry))
@@ -161,6 +177,113 @@ def add(a: Ciphered, b: Ciphered, carry_in: CipheredBit | None = None) -> Cipher
             break
         carry = gs[i].xor(ms[i].and_(carry))
     return Ciphered.new_from_raw(out, a.desc)
+
+
+_SCAN_BLOCK = 8  # carry-scan block size (sequential stages ~ 2*log2(K) + n/K)
+
+
+def _affine_carry_scan(
+    g: "jnp.ndarray",
+    g_bound: int,
+    m: "jnp.ndarray",
+    m_bound: int,
+    carry0: CipheredBit,
+) -> list[CipheredBit]:
+    """All carries of ``c_{p+1} = g_p ^ m_p * c_p`` via a blocked prefix scan.
+
+    ``g``/``m``: [..., P, L] lane tensors for positions 0..P-1; returns the
+    P+1 carries ``c_0..c_P`` as :class:`CipheredBit` lanes.  Three phases,
+    all expressed on the position axis so the clmul batch is B*P (vs B for
+    the ripple), which fills the Pallas kernel's 128-wide lane axis:
+
+    1. *Intra-block inclusive scan* (Hillis-Steele, log2(K) rounds of 2
+       batched clmuls): position p ends up holding the composition of the
+       affine maps from its block start through p.
+    2. *Block chain* (ceil(P/K) sequential steps): carry at each block
+       boundary via the block-summary maps.
+    3. *Fill* (1 batched clmul): every interior carry is
+       ``Gpref ^ Mpref * C_block``, batched over all blocks and offsets.
+
+    Affine-map composition: (G2, M2) after (G1, M1) is
+    ``(G2 ^ M2*G1, M2*M1)`` - associativity of GF(2)[X] makes the
+    regrouping exact, so the outputs are polynomial-identical to the
+    ripple evaluation (and to the reference's recurrence, common.rs:43-53).
+    """
+    P = g.shape[-2]
+    K = _SCAN_BLOCK
+    Gp, gb = g, g_bound
+    Mp, mb = m, m_bound
+
+    # -- phase 1: segmented Hillis-Steele scan over each K-block -----------
+    r = 1
+    while r < min(K, P):
+        ps = np.array([p for p in range(P) if (p % K) >= r], dtype=np.int32)
+        if ps.size == 0:
+            break
+        prev = ps - r
+        G_at = jnp.take(Gp, jnp.asarray(ps), axis=-2)
+        M_at = jnp.take(Mp, jnp.asarray(ps), axis=-2)
+        G_pv = jnp.take(Gp, jnp.asarray(prev), axis=-2)
+        M_pv = jnp.take(Mp, jnp.asarray(prev), axis=-2)
+        new_gb = gb + mb
+        new_mb = 2 * mb
+        Gn = gf2.xor(G_at, gf2k.clmul(M_at, G_pv))
+        Mn = gf2k.clmul(M_at, M_pv)
+        Lg = gf2.bucket(gf2.limbs_for(new_gb))
+        Lm = gf2.bucket(gf2.limbs_for(new_mb))
+        # scatter back at static indices; untouched rows keep old values
+        Gp = gf2.pad_limbs(Gp, Lg).at[..., jnp.asarray(ps), :].set(
+            gf2.fit_limbs(Gn, Lg)
+        )
+        Mp = gf2.pad_limbs(Mp, Lm).at[..., jnp.asarray(ps), :].set(
+            gf2.fit_limbs(Mn, Lm)
+        )
+        gb, mb = new_gb, new_mb
+        r *= 2
+
+    # -- phase 2: sequential chain over block summaries ---------------------
+    n_blocks = -(-P // K)
+    # When P is a multiple of K, carry c_P is itself a block-entry carry
+    # (t == 0 below) and needs one extra chain step.
+    n_chain = n_blocks - 1 + (1 if P % K == 0 else 0)
+    Cs: list[CipheredBit] = [carry0]  # carry entering each block
+    for b in range(n_chain):
+        e = (b + 1) * K - 1  # last position of block b
+        Gb = CipheredBit(Gp[..., e, :], gb)
+        Mb = CipheredBit(Mp[..., e, :], mb)
+        Cs.append(Gb.xor(Mb.and_(Cs[-1])))
+
+    # -- phase 3: batched fill of interior carries --------------------------
+    # c_{bK+t} for t in 1..K (t=K only matters for the next block start,
+    # already computed above; interior needs t in 1..K-1 plus the final
+    # partial block).  Gather prefix maps at positions bK..bK+K-2 and
+    # multiply by the block-entry carry, batched over (blocks, offsets).
+    entry = Cs[:n_blocks]  # block-entry carries only (exit carry feeds p=P)
+    Lc = max(c.num_limbs for c in entry)
+    C_stack = jnp.stack([c.pad_to(Lc).limbs for c in entry], axis=-2)  # [..., nb, Lc]
+    cb = max(c.bound for c in entry)
+
+    pos = np.arange(n_blocks * K).reshape(n_blocks, K)[:, : K - 1]  # [nb, K-1]
+    pos = np.minimum(pos, P - 1)  # clamp tail (duplicates are discarded)
+    Gsel = jnp.take(Gp, jnp.asarray(pos.reshape(-1)), axis=-2)
+    Msel = jnp.take(Mp, jnp.asarray(pos.reshape(-1)), axis=-2)
+    lead = Gsel.shape[:-2]
+    Gsel = Gsel.reshape(lead + (n_blocks, K - 1, Gsel.shape[-1]))
+    Msel = Msel.reshape(lead + (n_blocks, K - 1, Msel.shape[-1]))
+    prod = gf2k.clmul(Msel, C_stack[..., :, None, :])  # [..., nb, K-1, *]
+    fill = gf2.xor(Gsel, prod)
+    fill_bound = max(gb, mb + cb)
+    Lf = gf2.bucket(gf2.limbs_for(fill_bound))
+    fill = gf2.fit_limbs(fill, Lf)
+
+    out: list[CipheredBit] = []
+    for p in range(P + 1):
+        b, t = divmod(p, K)
+        if t == 0:
+            out.append(Cs[b])
+        else:
+            out.append(CipheredBit(fill[..., b, t - 1, :], fill_bound))
+    return out
 
 
 def sub(a: Ciphered, b: Ciphered) -> Ciphered:

@@ -1,0 +1,106 @@
+"""Blocked parallel-prefix carry scan vs the ripple recurrence.
+
+The adder's carry chain ``c' = g ^ m*c`` is an affine recurrence over the
+commutative ring GF(2)[X]; :func:`homomorph_tpu.models.circuits._affine_carry_scan`
+regroups its evaluation (blocked Hillis-Steele prefix scan), which must give
+POLYNOMIAL-IDENTICAL ciphertexts to the lane-by-lane ripple (and therefore to
+the reference's per-bit recurrence, src/impls/numbers/common.rs:43-53).
+"""
+
+import numpy as np
+import pytest
+
+import homomorph_tpu as hm
+from homomorph_tpu.cipher import CipheredBit
+from homomorph_tpu.models import HomomorphicAddition, HomomorphicSubtraction, circuits
+
+
+def make_ctx(d, dp, delta, tau, seed=0):
+    ctx = hm.Context(hm.Parameters(d, dp, delta, tau), source=hm.ThreefrySource(seed))
+    ctx.generate_secret_key()
+    ctx.generate_public_key()
+    return ctx
+
+
+def _ripple_carries(a, b, carry_in=None):
+    """Reference ripple evaluation of the same carry chain (common.rs:43-53)."""
+    n = len(a)
+    xs = [a[i].xor(b[i]) for i in range(n)]
+    gs = [a[i].and_(b[i]) for i in range(n)]
+    carry = carry_in or CipheredBit.zero(a.batch_shape)
+    out = []
+    for i in range(n):
+        out.append(xs[i].xor(carry))
+        if i + 1 >= n:
+            break
+        t = xs[i].and_(carry)
+        carry = t.xor(gs[i].and_(t.not_()))
+    return out
+
+
+def _trim_eq(x: np.ndarray, y: np.ndarray) -> bool:
+    L = max(x.shape[-1], y.shape[-1])
+    xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, L - x.shape[-1])])
+    yp = np.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, L - y.shape[-1])])
+    return bool((xp == yp).all())
+
+
+class TestScanAdder:
+    @pytest.fixture(scope="class")
+    def ctx(self):
+        return make_ctx(64, 16, 1, 16, seed=21)
+
+    def test_u32_decrypts(self):
+        # the u32 worst case (0xFFFFFFFF + 1) ripples the carry through all
+        # 32 bits: boolean degree 2 + 3*30 = 92, so it needs d/delta >= 92
+        # (the checked MIN_D_OVER_DELTA = 21 is the reference's constant,
+        # calibrated for u8; the reference's own u32 long test uses d = 256,
+        # uint.rs:210-252)
+        ctx = make_ctx(128, 16, 1, 16, seed=23)
+        xs = [0, 1, 0xFFFFFFFF, 123456789, 2**31]
+        ys = [0, 1, 1, 987654321, 2**31]
+        a = ctx.encrypt(xs, hm.U32, batch=True)
+        b = ctx.encrypt(ys, hm.U32, batch=True)
+        got = ctx.decrypt(ctx.apply2(HomomorphicAddition, a, b))
+        assert [int(v) for v in got] == [(x + y) & 0xFFFFFFFF for x, y in zip(xs, ys)]
+
+    def test_u16_polynomials_match_ripple(self, ctx):
+        a = ctx.encrypt([1000, 0xFFFF], hm.U16, batch=True)
+        b = ctx.encrypt([2000, 1], hm.U16, batch=True)
+        scan = circuits.add(a, b)  # n=16 -> scan path
+        ripple = hm.Ciphered.new_from_raw(_ripple_carries(a, b), hm.U16)
+        assert _trim_eq(np.asarray(scan.limbs), np.asarray(ripple.limbs))
+
+    def test_u16_sub_with_carry_in(self, ctx):
+        # sub routes through add(carry_in=one): scan path with nonzero c_0
+        a = ctx.encrypt([5000, 3], hm.U16, batch=True)
+        b = ctx.encrypt([4999, 7], hm.U16, batch=True)
+        got = ctx.decrypt(ctx.apply2(HomomorphicSubtraction, a, b))
+        assert [int(v) for v in got] == [1, (3 - 7) & 0xFFFF]
+
+    def test_scan_block_boundary_sizes(self, ctx):
+        # widths around the K=8 block size, incl. P % K == 0 (n = K+1 lanes)
+        from homomorph_tpu.models.circuits import _SCAN_BLOCK, _affine_carry_scan
+
+        for n in (_SCAN_BLOCK, _SCAN_BLOCK + 1, 2 * _SCAN_BLOCK, 17):
+            a = ctx.encrypt([(1 << n) - 1], hm.U32, batch=True)
+            b = ctx.encrypt([1], hm.U32, batch=True)
+            xs = [a[i].xor(b[i]) for i in range(n)]
+            gs = [a[i].and_(b[i]) for i in range(n)]
+            ms = [xs[i].and_(gs[i].not_()) for i in range(n)]
+            import jax.numpy as jnp
+
+            L = max(m.num_limbs for m in ms)
+            g_t = jnp.stack([g.pad_to(L).limbs for g in gs[: n - 1]], axis=-2)
+            m_t = jnp.stack([m.pad_to(L).limbs for m in ms[: n - 1]], axis=-2)
+            carries = _affine_carry_scan(
+                g_t, gs[0].bound, m_t, ms[0].bound, CipheredBit.zero(a.batch_shape)
+            )
+            ripple = _ripple_carries(a, b)
+            for i in range(n):
+                want = ripple[i]
+                got = xs[i].xor(carries[i])
+                assert _trim_eq(np.asarray(got.limbs), np.asarray(want.limbs)), (
+                    n,
+                    i,
+                )
