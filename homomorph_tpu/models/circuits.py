@@ -26,6 +26,7 @@ decipher (reference benches/u32.rs:44-49).
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax.numpy as jnp
@@ -140,12 +141,20 @@ def add(a: Ciphered, b: Ciphered, carry_in: CipheredBit | None = None) -> Cipher
     where ``m_i = x_i * (g_i ^ 1)`` depends only on the inputs.  All
     ``x_i``, ``g_i``, ``m_i`` lanes are computed as three whole-tensor
     batched ops up front; the carry chain ``c' = g ^ m*c`` is then an
-    affine GF(2)[X] recurrence.  For narrow words it runs as a ripple
-    (one carry-less multiply per bit position); for ``n >= 16`` it runs
-    as a blocked parallel-prefix scan (:func:`_affine_carry_scan`) -
-    the ring is commutative/associative, so the regrouped evaluation
-    yields bit-identical ciphertext polynomials with ~3x fewer
-    sequential device stages.
+    affine GF(2)[X] recurrence evaluated as a ripple - one carry-less
+    multiply per bit position, where step ``i`` multiplies the SMALL
+    fixed-degree ``m_i`` by the growing carry (work ~ i*L0^2 words), so
+    total chain work is ~ n^2/2 * L0^2.
+
+    A blocked parallel-prefix evaluation (:func:`_affine_carry_scan`,
+    enable with ``HOMOMORPH_TPU_CARRY_SCAN=1``) cuts sequential device
+    stages ~3x and is polynomial-identical (the ring is commutative /
+    associative), but composing affine maps squares operand degrees:
+    block summaries reach ``K*deg(m)`` and the batched fill multiplies
+    every position at the worst-case bound - measured ~9x MORE device
+    time at production batch sizes on TPU v5e, so the ripple is the
+    default; the scan remains available for small-batch latency-bound
+    regimes.
     """
     x_all = gate_xor(a, b)
     g_all = gate_and(a, b)
@@ -156,7 +165,7 @@ def add(a: Ciphered, b: Ciphered, carry_in: CipheredBit | None = None) -> Cipher
 
     n = len(a)
     carry = carry_in or CipheredBit.zero(a.batch_shape)
-    if n >= 16:
+    if _use_carry_scan() and n >= 16:
         carries = _affine_carry_scan(
             g_all.limbs[..., : n - 1, :],
             g_all.bound,
@@ -180,6 +189,11 @@ def add(a: Ciphered, b: Ciphered, carry_in: CipheredBit | None = None) -> Cipher
 
 
 _SCAN_BLOCK = 8  # carry-scan block size (sequential stages ~ 2*log2(K) + n/K)
+
+
+def _use_carry_scan() -> bool:
+    """Opt-in knob for the prefix-scan carry evaluation (see :func:`add`)."""
+    return os.environ.get("HOMOMORPH_TPU_CARRY_SCAN", "0") == "1"
 
 
 def _affine_carry_scan(
