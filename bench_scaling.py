@@ -27,18 +27,34 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=8)
     args = ap.parse_args()
 
+    # Steer to a virtual CPU device mesh. The two overrides are independent:
+    # the device-count flag is only added when absent, while the platform
+    # override applies whenever the backend is still uninitialized (the host
+    # sitecustomize imports jax at interpreter startup with
+    # JAX_PLATFORMS=axon snapshotted into jax.config, so a pre-set XLA_FLAGS
+    # must not leave the single-chip axon platform in place).
     if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
             + f" --xla_force_host_platform_device_count={args.devices}"
         ).strip()
-        os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    if os.environ["JAX_PLATFORMS"] == "cpu":
         os.environ["PALLAS_AXON_POOL_IPS"] = ""
-        # The host sitecustomize imports jax at interpreter startup with
-        # JAX_PLATFORMS=axon already snapshotted into jax.config; override
-        # the live config while the backend is still uninitialized.
-        if "jax" in sys.modules:
-            sys.modules["jax"].config.update("jax_platforms", "cpu")
+    jax_mod = sys.modules.get("jax")
+    if jax_mod is not None:
+        backends_live = False
+        try:
+            from jax._src import xla_bridge
+
+            backends_live = bool(getattr(xla_bridge, "_backends", None))
+        except Exception:
+            pass
+        if not backends_live:
+            try:
+                jax_mod.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+            except Exception:
+                pass
 
     import jax
     import jax.numpy as jnp

@@ -12,15 +12,25 @@ Mirrors the reference's ``Context`` (reference: src/context.rs:300-596):
   ``validate_operation`` (``d >= MIN_D_OVER_DELTA * delta`` computed in
   wide integers, src/context.rs:310-323, 496-546).
 
-Randomness: the context owns a :class:`~homomorph_tpu.rng.RandomSource`
-(production default: :class:`~homomorph_tpu.rng.ThreefrySource`) for key
-generation, and a ``jax.random`` key chain for the fully-jitted batched
-encryption path.  A recorded source can be injected for bit-exact replay.
+Randomness / security model (mirrors the reference, which draws every
+random byte from the OS CSPRNG - src/polynomial.rs:87, src/cipher.rs:95):
+
+* **Key generation** defaults to :class:`~homomorph_tpu.rng.OsRandomSource`
+  (``os.urandom``) - full OS entropy, exactly like the reference.
+* **Encryption** (the jitted device path) derives a FRESH 64-bit
+  ``jax.random`` key from ``os.urandom`` for every ``encrypt`` call
+  (:func:`~homomorph_tpu.rng.os_entropy_key`).  64 bits is the entire
+  threefry-2x32 key space, so no path narrows the key space below what the
+  PRNG supports; each ciphertext batch uses an independently-keyed stream.
+* **Reproducibility seams** (opt-in, for tests/replay only): pass
+  ``source=`` to pin key generation AND route encryption through the
+  host byte stream in the reference's exact draw order, or
+  ``encrypt_seed=`` to make the device encryption stream a deterministic
+  split-chain from one seed.
 """
 
 from __future__ import annotations
 
-import secrets
 from typing import Any, Sequence, Type
 
 import jax
@@ -52,11 +62,11 @@ class Context:
         self._parameters = parameters
         self._secret_key: _keys.SecretKey | None = None
         self._public_key: _keys.PublicKey | None = None
-        self._source = source if source is not None else _rng.ThreefrySource(
-            secrets.randbits(63)
-        )
-        self._enc_key = jax.random.key(
-            encrypt_seed if encrypt_seed is not None else secrets.randbits(63)
+        # Default: OS CSPRNG for keygen (reference parity) and a fresh
+        # full-entropy device key per encrypt call - see the module docstring.
+        self._source = source if source is not None else _rng.OsRandomSource()
+        self._enc_key = (
+            jax.random.key(encrypt_seed) if encrypt_seed is not None else None
         )
         self._use_source_for_encrypt = source is not None
 
@@ -113,7 +123,10 @@ class Context:
             return Ciphered.cipher(
                 data, self._public_key, desc, source=self._source, batch=batch
             )
-        self._enc_key, sub = jax.random.split(self._enc_key)
+        if self._enc_key is not None:
+            self._enc_key, sub = jax.random.split(self._enc_key)
+        else:
+            sub = _rng.os_entropy_key()  # fresh OS entropy per stream
         return Ciphered.cipher(data, self._public_key, desc, key=sub, batch=batch)
 
     def decrypt(self, ciphered: Ciphered) -> Any:
@@ -123,19 +136,28 @@ class Context:
 
     # -- checked operation API (src/context.rs:308-323, 490-546) -------------
 
-    def validate_operation(self, op: Type[OperationRequirement]) -> None:
+    def validate_operation(
+        self, op: Type[OperationRequirement], *operands: Ciphered
+    ) -> None:
+        """Check ``d >= required * delta`` in wide integers
+        (src/context.rs:310-323).  With operands given, the requirement is
+        the operation's operand-specific bound
+        (:meth:`~homomorph_tpu.operations.OperationRequirement.requirement_for`,
+        e.g. the bit width for equality); without, the blanket class
+        constant - the reference's behaviour."""
+        required = op.requirement_for(*operands) if operands else op.MIN_D_OVER_DELTA
         d, delta = self._parameters.d, self._parameters.delta
-        if d < op.MIN_D_OVER_DELTA * delta:
-            raise InvalidParametersError(op.MIN_D_OVER_DELTA, d, delta)
+        if d < required * delta:
+            raise InvalidParametersError(required, d, delta)
 
     def apply1(self, op, a: Ciphered) -> Ciphered:
-        self.validate_operation(op)
+        self.validate_operation(op, a)
         return op.unsafe_apply(a)
 
     def apply2(self, op, a: Ciphered, b: Ciphered) -> Ciphered:
-        self.validate_operation(op)
+        self.validate_operation(op, a, b)
         return op.unsafe_apply(a, b)
 
     def apply_n(self, op, args: Sequence[Ciphered]) -> Ciphered:
-        self.validate_operation(op)
+        self.validate_operation(op, *args)
         return op.unsafe_apply(args)

@@ -31,6 +31,43 @@ from .utils.errors import SecretKeyUnsetError
 __all__ = ["SecretKey", "PublicKey", "generate_secret_key", "generate_public_key"]
 
 
+_ZERO_MUL = None
+
+
+def _zeroize_device_array(arr) -> None:
+    """Best-effort physical overwrite of a device buffer with zeros.
+
+    The reference volatile-zeroes secret material on drop
+    (src/polynomial.rs:367-401, src/context.rs:199-206).  JAX arrays are
+    immutable, so the closest analogue is a donated elementwise multiply by
+    a runtime zero: donation lets XLA write the zero result in place over
+    the donated input buffer (aliasing is the normal outcome for a same-
+    shape elementwise op), after which both handles are deleted.  The
+    multiplier is a traced argument so the zeroing cannot be constant-folded
+    away.  Exact aliasing is runtime-dependent (hence "best-effort"); the
+    buffer is freed regardless.
+    """
+    if arr is None:
+        return
+    global _ZERO_MUL
+    if _ZERO_MUL is None:
+        _ZERO_MUL = jax.jit(lambda x, z: x * z, donate_argnums=0)
+    import warnings
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # donation-unsupported warnings
+            out = _ZERO_MUL(arr, jnp.uint32(0))
+            out.block_until_ready()
+            out.delete()
+    except Exception:
+        pass
+    try:
+        arr.delete()
+    except Exception:
+        pass
+
+
 class SecretKey:
     """The secret key ``S`` (reference: src/context.rs:121-206).
 
@@ -108,12 +145,22 @@ class SecretKey:
     # -- lifecycle ----------------------------------------------------------
 
     def zeroize(self) -> None:
+        """Scrub ALL secret-derived material: the host staging buffer, the
+        device copy of ``S``, and every sk-derived reduction cache (the
+        decrypt masks and ``X^i mod S`` tables are linear images of ``S``
+        and leak it), then poison the object.  Device buffers are
+        overwritten via donated zero-writes before being freed
+        (:func:`_zeroize_device_array`); reference semantics at
+        src/polynomial.rs:367-401, src/context.rs:199-206."""
         if self._host is not None:
             self._host.fill(0)
         self._host = None
+        _zeroize_device_array(self._limbs)
         self._limbs = None
-        self._mask_cache.clear()
-        self._rows_cache.clear()
+        for cache in (self._mask_cache, self._rows_cache):
+            for arr in cache.values():
+                _zeroize_device_array(arr)
+            cache.clear()
 
     def _check_alive(self) -> None:
         if self._host is None:

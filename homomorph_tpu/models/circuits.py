@@ -191,9 +191,18 @@ def add(a: Ciphered, b: Ciphered, carry_in: CipheredBit | None = None) -> Cipher
 _SCAN_BLOCK = 8  # carry-scan block size (sequential stages ~ 2*log2(K) + n/K)
 
 
+# Snapshotted ONCE at import: the knob is read at trace time and is not part
+# of any jit cache key, so flipping the env var after a circuit has been
+# traced would silently have no effect on already-compiled functions.  A
+# single import-time snapshot makes the semantics explicit: set
+# HOMOMORPH_TPU_CARRY_SCAN=1 before importing homomorph_tpu.
+_CARRY_SCAN = os.environ.get("HOMOMORPH_TPU_CARRY_SCAN", "0") == "1"
+
+
 def _use_carry_scan() -> bool:
-    """Opt-in knob for the prefix-scan carry evaluation (see :func:`add`)."""
-    return os.environ.get("HOMOMORPH_TPU_CARRY_SCAN", "0") == "1"
+    """Opt-in knob for the prefix-scan carry evaluation (see :func:`add`).
+    Import-time snapshot; see ``_CARRY_SCAN`` above."""
+    return _CARRY_SCAN
 
 
 def _affine_carry_scan(

@@ -16,7 +16,8 @@ HomomorphicMultiplication  64 (conservative) column mult   (common.rs:66-163)
 
 Extensions NOT in the reference (same trait machinery, see class docs):
 ``HomomorphicSubtraction`` (21), ``HomomorphicNegation`` (21),
-``HomomorphicEquality`` (64, conservative; exact requirement = bit width),
+``HomomorphicEquality`` (width-aware: requirement = operand bit width via
+``requirement_for``; blanket class constant 64),
 ``HomomorphicLessThan`` / ``HomomorphicGreaterThan`` (21, unsigned
 borrow-chain comparison); plus ``circuits.le``/``ge``/``select`` (mux).
 
@@ -166,14 +167,20 @@ class HomomorphicEquality(HomomorphicOperation2):
     """``a == b`` as a ``Ciphered[Bool]`` (not in the reference).
 
     Lane-wise XNOR + AND-reduction tree: the exact requirement is the
-    plaintext bit width (boolean degree ``n`` - XNOR lanes are affine);
-    64 is a conservative class default covering every type up to
-    u64/i64, following the reference's convention for multiplication
-    (src/impls/numbers.rs:47-50).  For u128/i128 use ``unsafe_apply``
-    after checking ``d/delta >= 128`` yourself.
+    plaintext bit width (boolean degree ``n`` - XNOR lanes are affine).
+    Through the checked API the requirement is therefore computed from the
+    operands (:meth:`requirement_for` = number of bit lanes), so u8 equality
+    only needs ``d/delta >= 8`` and u128/i128 equality is usable at
+    ``d/delta >= 128``.  The class constant keeps the reference-style
+    conservative blanket default for callers that inspect it without
+    operands (src/impls/numbers.rs:47-50 convention).
     """
 
     MIN_D_OVER_DELTA = 64
+
+    @classmethod
+    def requirement_for(cls, *operands: Ciphered) -> int:
+        return max(len(c) for c in operands)
 
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:

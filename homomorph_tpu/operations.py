@@ -38,9 +38,24 @@ class OperationRequirement:
     An operation of boolean degree ``D`` is correct iff ``d/delta >= D``
     (reference README.md:157-162); implementors declare that bound here
     (src/operations.rs:24-27).
+
+    ``MIN_D_OVER_DELTA`` is the reference-style class constant (a blanket
+    bound covering every operand type the operation supports).  Operations
+    whose exact boolean degree depends on the operands - e.g. equality,
+    whose degree is the plaintext bit width - may additionally override
+    :meth:`requirement_for`, which the checked API
+    (``Context.apply1/2/n``) consults with the actual operands so e.g.
+    u128 equality is usable at ``d/delta >= 128`` without inflating the
+    blanket constant for narrow types.
     """
 
     MIN_D_OVER_DELTA: ClassVar[int] = 1
+
+    @classmethod
+    def requirement_for(cls, *operands: "Ciphered") -> int:
+        """Required ``d/delta`` for these specific operands (defaults to the
+        class constant; override for width-dependent operations)."""
+        return cls.MIN_D_OVER_DELTA
 
 
 class HomomorphicOperation1(OperationRequirement):

@@ -27,6 +27,7 @@ stream recorded from it replays bit-identically):
 from __future__ import annotations
 
 import abc
+import os
 
 import numpy as np
 
@@ -94,12 +95,29 @@ class ThreefrySource(RandomSource):
 
 class OsRandomSource(RandomSource):
     """OS CSPRNG (``os.urandom``) - the analogue of the reference's
-    ``getrandom`` production source (src/polynomial.rs:87, src/cipher.rs:95)."""
+    ``getrandom`` production source (src/polynomial.rs:87, src/cipher.rs:95).
+
+    This is the DEFAULT key-generation source (matching the reference, which
+    draws every random byte from the OS CSPRNG)."""
 
     def draw_bytes(self, n: int) -> np.ndarray:
-        import os
-
         return np.frombuffer(os.urandom(n), dtype=np.uint8)
+
+
+def os_entropy_key():
+    """A ``jax.random`` key seeded with full-entropy OS randomness.
+
+    The jax threefry-2x32 key space is 64 bits; this fills ALL of it from
+    ``os.urandom`` (the reference's production entropy source,
+    src/cipher.rs:95), instead of collapsing it to a smaller Python-seed
+    space.  Used by :class:`~homomorph_tpu.context.Context` to key each
+    device-side encryption stream.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    words = np.frombuffer(os.urandom(8), dtype=np.uint32).copy()
+    return jax.random.wrap_key_data(jnp.asarray(words))
 
 
 class RecordedSource(RandomSource):

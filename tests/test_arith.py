@@ -213,17 +213,54 @@ class TestExtensions:
         assert [bool(v) for v in got] == [True, False, True, False]
 
     def test_equality_requires_d_over_delta(self):
+        # Width-aware requirement: u8 equality needs d/delta >= 8.
         import homomorph_tpu as hm
         from homomorph_tpu.models import HomomorphicEquality
         from homomorph_tpu.utils.errors import InvalidParametersError
 
-        c = hm.Context(hm.Parameters(32, 8, 1, 8), encrypt_seed=3)
+        c = hm.Context(hm.Parameters(32, 8, 8, 8), encrypt_seed=3)  # ratio 4
         c.generate_secret_key()
         c.generate_public_key()
         a = c.encrypt(1, hm.U8)
         b = c.encrypt(1, hm.U8)
         with pytest.raises(InvalidParametersError):
             c.apply2(HomomorphicEquality, a, b)
+        # without operands, validate uses the blanket class constant
+        with pytest.raises(InvalidParametersError):
+            c.validate_operation(HomomorphicEquality)
+
+    def test_equality_width_aware_narrow(self):
+        # u8 at d/delta = 8 passes the checked API (the blanket 64 would
+        # have rejected it) and decrypts correctly.
+        import homomorph_tpu as hm
+        from homomorph_tpu.models import HomomorphicEquality
+
+        c = hm.Context(hm.Parameters(64, 8, 8, 8), encrypt_seed=4)  # ratio 8
+        c.generate_secret_key()
+        c.generate_public_key()
+        a = c.encrypt([9, 200], hm.U8, batch=True)
+        b = c.encrypt([9, 201], hm.U8, batch=True)
+        got = c.decrypt(c.apply2(HomomorphicEquality, a, b))
+        assert [bool(v) for v in got] == [True, False]
+
+    def test_equality_u128_through_checked_api(self):
+        # u128 equality usable via apply2 at d/delta >= 128 (VERDICT item:
+        # the old blanket MIN_D_OVER_DELTA=64 made this impossible).
+        import homomorph_tpu as hm
+        from homomorph_tpu.cipher import Ciphered
+        from homomorph_tpu.models import HomomorphicEquality
+
+        c = hm.Context(hm.Parameters(256, 8, 2, 8), encrypt_seed=5)  # ratio 128
+        c.generate_secret_key()
+        c.generate_public_key()
+        x = (1 << 127) + 12345
+        # trivial (degree-0) ciphertexts keep the 128-lane AND tree cheap on
+        # CPU while still exercising the full checked apply2 path
+        a = Ciphered.trivial(x, hm.U128)
+        b_eq = Ciphered.trivial(x, hm.U128)
+        b_ne = Ciphered.trivial(x ^ (1 << 100), hm.U128)
+        assert bool(c.decrypt(c.apply2(HomomorphicEquality, a, b_eq)))
+        assert not bool(c.decrypt(c.apply2(HomomorphicEquality, a, b_ne)))
 
     def test_trivial_constant_mix(self, ctx):
         """Public constants mix into circuits without the public key."""

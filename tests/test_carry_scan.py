@@ -51,7 +51,7 @@ class TestScanAdder:
         return make_ctx(64, 16, 1, 16, seed=21)
 
     def test_u32_decrypts(self, monkeypatch):
-        monkeypatch.setenv("HOMOMORPH_TPU_CARRY_SCAN", "1")
+        monkeypatch.setattr(circuits, "_CARRY_SCAN", True)
         # the u32 worst case (0xFFFFFFFF + 1) ripples the carry through all
         # 32 bits: boolean degree 2 + 3*30 = 92, so it needs d/delta >= 92
         # (the checked MIN_D_OVER_DELTA = 21 is the reference's constant,
@@ -66,11 +66,11 @@ class TestScanAdder:
         assert [int(v) for v in got] == [(x + y) & 0xFFFFFFFF for x, y in zip(xs, ys)]
 
     def test_u16_polynomials_match_ripple(self, ctx, monkeypatch):
-        monkeypatch.setenv("HOMOMORPH_TPU_CARRY_SCAN", "1")
+        monkeypatch.setattr(circuits, "_CARRY_SCAN", True)
         a = ctx.encrypt([1000, 0xFFFF], hm.U16, batch=True)
         b = ctx.encrypt([2000, 1], hm.U16, batch=True)
         scan = circuits.add(a, b)  # n=16 -> scan path
-        monkeypatch.setenv("HOMOMORPH_TPU_CARRY_SCAN", "0")
+        monkeypatch.setattr(circuits, "_CARRY_SCAN", False)
         ripple = circuits.add(a, b)  # default ripple path
         assert _trim_eq(np.asarray(scan.limbs), np.asarray(ripple.limbs))
         # both must equal the reference recurrence evaluated lane-by-lane
@@ -79,7 +79,7 @@ class TestScanAdder:
 
     def test_u16_sub_with_carry_in(self, ctx, monkeypatch):
         # sub routes through add(carry_in=one): scan path with nonzero c_0
-        monkeypatch.setenv("HOMOMORPH_TPU_CARRY_SCAN", "1")
+        monkeypatch.setattr(circuits, "_CARRY_SCAN", True)
         a = ctx.encrypt([5000, 3], hm.U16, batch=True)
         b = ctx.encrypt([4999, 7], hm.U16, batch=True)
         got = ctx.decrypt(ctx.apply2(HomomorphicSubtraction, a, b))

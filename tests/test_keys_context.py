@@ -129,3 +129,82 @@ class TestContext:
         c = ctx2.encrypt(177, hm.U8)
         assert ctx2.decrypt(c) == 177
         assert ctx.decrypt(c) == 177
+
+
+class TestRandomnessDefaults:
+    """Production randomness defaults (reference: every random byte from the
+    OS CSPRNG - src/polynomial.rs:87, src/cipher.rs:95)."""
+
+    def test_default_source_is_os_entropy(self):
+        from homomorph_tpu.rng import OsRandomSource
+
+        ctx = hm.Context(hm.Parameters(64, 32, 8, 32))
+        assert isinstance(ctx._source, OsRandomSource)
+
+    def test_default_contexts_draw_independent_keys(self):
+        p = hm.Parameters(64, 32, 8, 32)
+        c1, c2 = hm.Context(p), hm.Context(p)
+        c1.generate_secret_key()
+        c2.generate_secret_key()
+        assert c1.get_secret_key() != c2.get_secret_key()
+
+    def test_default_encrypt_streams_are_independent_and_correct(self):
+        p = hm.Parameters(64, 32, 8, 32)
+        ctx = hm.Context(p)
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+        a = ctx.encrypt(177, hm.U8)
+        b = ctx.encrypt(177, hm.U8)
+        assert int(ctx.decrypt(a)) == 177 and int(ctx.decrypt(b)) == 177
+        # fresh OS-entropy key per stream: same plaintext, different masks
+        assert not np.array_equal(np.asarray(a.limbs), np.asarray(b.limbs))
+
+    def test_encrypt_seed_seam_is_deterministic(self):
+        p = hm.Parameters(64, 32, 8, 32)
+        src = hm.ThreefrySource(9)
+        keygen = hm.Context(p, source=src)
+        keygen.generate_secret_key()
+        keygen.generate_public_key()
+        sk_b = keygen.get_secret_key().to_bytes()
+        pk_b = keygen.get_public_key().to_bytes()
+
+        cts = []
+        for _ in range(2):
+            c = hm.Context(p, encrypt_seed=42)
+            c.set_secret_key(hm.SecretKey.from_bytes(sk_b))
+            c.set_public_key(hm.PublicKey.from_bytes(pk_b))
+            cts.append(c.encrypt(251, hm.U8))
+        assert np.array_equal(np.asarray(cts[0].limbs), np.asarray(cts[1].limbs))
+
+    def test_source_seam_routes_encryption_through_host_stream(self):
+        p = hm.Parameters(64, 32, 8, 32)
+        c1 = hm.Context(p, source=hm.ThreefrySource(5))
+        c1.generate_secret_key()
+        c1.generate_public_key()
+        c2 = hm.Context(p, source=hm.ThreefrySource(5))
+        c2.generate_secret_key()
+        c2.generate_public_key()
+        # identical source -> identical keys AND identical ciphertext bytes
+        a, b = c1.encrypt(99, hm.U8), c2.encrypt(99, hm.U8)
+        assert np.array_equal(np.asarray(a.limbs), np.asarray(b.limbs))
+
+
+class TestZeroizeDeviceCaches:
+    def test_zeroize_scrubs_device_buffers_and_caches(self):
+        ctx = make_ctx()
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+        sk = ctx.get_secret_key()
+        c = ctx.encrypt(7, hm.U8)
+        assert int(ctx.decrypt(c)) == 7  # populates the mask cache
+        w = sk.decrypt_mask(c.num_limbs)
+        rows = sk.reduction_rows(c.num_limbs)
+        limbs = sk.limbs
+        host = sk._host
+        sk.zeroize()
+        assert (host == 0).all()  # host staging buffer overwritten
+        for arr in (w, rows, limbs):  # device buffers zero-written + freed
+            assert arr.is_deleted()
+        assert not sk._mask_cache and not sk._rows_cache
+        with pytest.raises(hm.SecretKeyUnsetError):
+            sk.decrypt_mask(c.num_limbs)
