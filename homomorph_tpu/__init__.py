@@ -29,10 +29,18 @@ from .codec import (  # noqa: F401
     Usize,
     ArrayDescriptor,
     BytesDescriptor,
+    EnumDescriptor,
+    OptionDescriptor,
+    Str,
+    StringDescriptor,
     StructDescriptor,
     TypeDescriptor,
+    VecDescriptor,
     descriptor_for,
+    enum_of,
+    option_of,
     struct_of,
+    vec_of,
 )
 from .context import Context  # noqa: F401
 from .keys import PublicKey, SecretKey  # noqa: F401
@@ -79,9 +87,11 @@ __all__ = [
     "ThreefrySource",
     # codec
     "TypeDescriptor", "StructDescriptor", "ArrayDescriptor", "BytesDescriptor",
+    "VecDescriptor", "StringDescriptor", "OptionDescriptor", "EnumDescriptor",
     "U8", "U16", "U32", "U64", "U128", "Usize",
     "I8", "I16", "I32", "I64", "I128", "Isize",
-    "Bool", "F32", "F64", "struct_of", "descriptor_for",
+    "Bool", "F32", "F64", "Str",
+    "struct_of", "descriptor_for", "vec_of", "option_of", "enum_of",
     # errors
     "HomomorphError", "CipherError", "ContextCryptoError", "OperationError",
     "RandomnessError", "SerializeError", "DeserializeError",

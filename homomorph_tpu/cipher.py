@@ -47,7 +47,29 @@ from .utils.errors import (
 
 __all__ = ["CipheredBit", "Ciphered", "MAX_DECODE_BYTES"]
 
-MAX_DECODE_BYTES = 1 << 20  # src/cipher.rs:15
+MAX_DECODE_BYTES = _codec.MAX_DECODE_BYTES  # src/cipher.rs:15
+
+
+def _encode_values(
+    desc: _codec.TypeDescriptor, values: list
+) -> tuple[bytes, int]:
+    """Encode a batch; return (payload, bits per value).
+
+    Fixed-size types always agree; variable-length types (Vec/String/
+    Option/enum) must encode to EQUAL lengths within one batch because a
+    ``Ciphered`` is one rectangular lane tensor (pad plaintexts or split
+    the batch otherwise)."""
+    payloads = [desc.encode(v) for v in values]
+    n_bytes = len(payloads[0])
+    if any(len(p) != n_bytes for p in payloads):
+        raise SerializeError(
+            f"batched {desc.name} values must encode to equal byte lengths; "
+            f"got {sorted({len(p) for p in payloads})} - pad the plaintexts "
+            "or encrypt them separately"
+        )
+    if n_bytes == 0:
+        raise SerializeError(f"{desc.name} encoded to zero bytes")
+    return b"".join(payloads), n_bytes * 8
 
 
 # --------------------------------------------------------------------------
@@ -232,11 +254,7 @@ class Ciphered:
         if desc is None:
             desc = _codec.descriptor_for(values[0])
 
-        try:
-            payload = b"".join(desc.encode(v) for v in values)
-        except SerializeError:
-            raise
-        n_bits = desc.num_bits
+        payload, n_bits = _encode_values(desc, values)
         all_bits = np.unpackbits(
             np.frombuffer(payload, dtype=np.uint8), bitorder="little"
         ).reshape(len(values), n_bits)
@@ -297,10 +315,10 @@ class Ciphered:
         values = list(data) if batch else [data]
         if desc is None:
             desc = _codec.descriptor_for(values[0])
-        payload = b"".join(desc.encode(v) for v in values)
+        payload, n_bits = _encode_values(desc, values)
         bits = np.unpackbits(
             np.frombuffer(payload, dtype=np.uint8), bitorder="little"
-        ).reshape(len(values), desc.num_bits)
+        ).reshape(len(values), n_bits)
         limbs = jnp.asarray(bits.astype(np.uint32))[..., None]  # [B, n, 1]
         if not batch:
             limbs = limbs[0]
@@ -381,8 +399,11 @@ class Ciphered:
         return bs[:mid], bs[mid:]
 
     def reinterpret(self, desc: _codec.TypeDescriptor) -> "Ciphered":
-        """View the same lanes as a different plaintext type."""
-        if desc.num_bits != len(self):
+        """View the same lanes as a different plaintext type.
+
+        Variable-length descriptors (Vec/String/Option/enum) cannot be
+        width-checked here; their decode validates at decipher time."""
+        if desc.is_fixed_size and desc.num_bits != len(self):
             raise ValueError(
                 f"{desc!r} needs {desc.num_bits} lanes, have {len(self)}"
             )

@@ -9,11 +9,21 @@ that exact wire format for the types the framework ships:
   fixint encodes usize as u64), bool (1 byte), f32/f64 (LE IEEE-754),
 * fixed-size arrays (element-wise, no length prefix),
 * structs (declaration-order field concatenation - the invariant both
-  reference examples lean on: examples/unbalanced_struct.rs:11-33).
+  reference examples lean on: examples/unbalanced_struct.rs:11-33),
+* **variable-length types** (bincode 2 fixint rules): ``Vec<T>`` /
+  ``String`` carry a u64 LE length prefix, ``Option<T>`` a 1-byte tag
+  (0 = None, 1 = Some), enums a u32 LE discriminant + variant payload.
+  These are exactly the plaintext classes whose decode path makes the
+  reference's ``MAX_DECODE_BYTES`` 1 MiB decode-bomb cap load-bearing
+  (src/cipher.rs:15, 239-247): a length prefix claiming more than the
+  buffer holds raises :class:`DeserializeError`, and one claiming an
+  allocation beyond the cap raises :class:`DecodeTooLargeError`.
 
 Every type is described by a :class:`TypeDescriptor` with ``encode`` /
-``decode`` / ``num_bytes``; ciphertext bit-length is always
-``8 * num_bytes`` (matching ``Ciphered::cipher``, src/cipher.rs:175-191).
+``decode`` / ``decode_from`` / ``num_bytes``.  Fixed-size types have a
+static ``num_bytes``; variable-length types have ``num_bytes = None`` and
+derive the ciphertext bit-length from each value's actual encoding
+(``Ciphered::cipher`` semantics, src/cipher.rs:175-191).
 """
 
 from __future__ import annotations
@@ -24,9 +34,10 @@ from typing import Any, Callable, Sequence
 
 import numpy as np
 
-from .utils.errors import DeserializeError, SerializeError
+from .utils.errors import DecodeTooLargeError, DeserializeError, SerializeError
 
 __all__ = [
+    "MAX_DECODE_BYTES",
     "TypeDescriptor",
     "IntDescriptor",
     "BoolDescriptor",
@@ -34,27 +45,79 @@ __all__ = [
     "StructDescriptor",
     "ArrayDescriptor",
     "BytesDescriptor",
+    "VecDescriptor",
+    "StringDescriptor",
+    "OptionDescriptor",
+    "EnumDescriptor",
     "U8", "U16", "U32", "U64", "U128", "Usize",
     "I8", "I16", "I32", "I64", "I128", "Isize",
-    "Bool", "F32", "F64",
+    "Bool", "F32", "F64", "Str",
+    "vec_of", "option_of", "enum_of",
     "struct_of", "descriptor_for",
 ]
 
+# Decode-bomb cap, identical to the reference (src/cipher.rs:15): no decode
+# may commit to materializing more than this many bytes.
+MAX_DECODE_BYTES = 1 << 20
+
+# bincode 2 fixint: collection lengths are usize encoded as u64 LE.
+_LEN_BYTES = 8
+# bincode 2: enum discriminants are u32 (fixed LE under fixint).
+_DISCRIMINANT_BYTES = 4
+
 
 class TypeDescriptor:
-    """Describes how a plaintext type maps to bincode-fixint-LE bytes."""
+    """Describes how a plaintext type maps to bincode-fixint-LE bytes.
+
+    ``num_bytes`` is the static encoded size, or ``None`` for
+    variable-length types (``Vec``, ``String``, ``Option``, enums with
+    differently-sized variants); for those, the encoded size is a property
+    of each value and the ciphertext bit-length follows the actual
+    encoding.
+    """
 
     name: str
-    num_bytes: int
+    num_bytes: int | None
+
+    @property
+    def is_fixed_size(self) -> bool:
+        return self.num_bytes is not None
 
     @property
     def num_bits(self) -> int:
+        if self.num_bytes is None:
+            raise TypeError(
+                f"{self.name} is variable-length; its bit width is a "
+                "property of each value, not of the type"
+            )
         return self.num_bytes * 8
 
     def encode(self, value: Any) -> bytes:
         raise NotImplementedError
 
     def decode(self, data: bytes) -> Any:
+        """Decode a complete buffer (must consume it exactly)."""
+        value, off = self.decode_from(bytes(data), 0)
+        if off != len(data):
+            raise DeserializeError(
+                f"{self.name}: {len(data) - off} trailing byte(s) after decode"
+            )
+        return value
+
+    def decode_from(self, data: bytes, offset: int) -> tuple[Any, int]:
+        """Stream decode: parse one value at ``offset``, return
+        ``(value, next_offset)``.  Default implementation for fixed-size
+        types; variable-length descriptors override this."""
+        end = offset + self.num_bytes
+        if end > len(data):
+            raise DeserializeError(
+                f"{self.name} needs {self.num_bytes} bytes at offset "
+                f"{offset}, buffer has {len(data)}"
+            )
+        return self._decode_fixed(data[offset:end]), end
+
+    def _decode_fixed(self, data: bytes) -> Any:
+        """Exact-size decode body for fixed-size types."""
         raise NotImplementedError
 
     def __repr__(self) -> str:
@@ -77,11 +140,7 @@ class IntDescriptor(TypeDescriptor):
         except (OverflowError, TypeError, ValueError) as e:
             raise SerializeError(f"cannot encode {value!r} as {self.name}: {e}") from e
 
-    def decode(self, data: bytes) -> int:
-        if len(data) != self.num_bytes:
-            raise DeserializeError(
-                f"{self.name} expects {self.num_bytes} bytes, got {len(data)}"
-            )
+    def _decode_fixed(self, data: bytes) -> int:
         return int.from_bytes(data, "little", signed=self.signed)
 
 
@@ -92,7 +151,7 @@ class BoolDescriptor(TypeDescriptor):
     def encode(self, value: Any) -> bytes:
         return b"\x01" if value else b"\x00"
 
-    def decode(self, data: bytes) -> bool:
+    def _decode_fixed(self, data: bytes) -> bool:
         if data not in (b"\x00", b"\x01"):
             raise DeserializeError(f"invalid bool byte {data!r}")
         return data == b"\x01"
@@ -111,9 +170,7 @@ class FloatDescriptor(TypeDescriptor):
         except (TypeError, ValueError) as e:
             raise SerializeError(f"cannot encode {value!r} as {self.name}") from e
 
-    def decode(self, data: bytes) -> float:
-        if len(data) != self.num_bytes:
-            raise DeserializeError(f"{self.name} expects {self.num_bytes} bytes")
+    def _decode_fixed(self, data: bytes) -> float:
         return _struct.unpack(self._fmt, data)[0]
 
 
@@ -130,7 +187,7 @@ class BytesDescriptor(TypeDescriptor):
             raise SerializeError(f"expected {self.num_bytes} bytes, got {len(b)}")
         return b
 
-    def decode(self, data: bytes) -> bytes:
+    def _decode_fixed(self, data: bytes) -> bytes:
         return bytes(data)
 
 
@@ -140,7 +197,9 @@ class ArrayDescriptor(TypeDescriptor):
     def __init__(self, element: TypeDescriptor, n: int):
         self.element = element
         self.n = n
-        self.num_bytes = element.num_bytes * n
+        self.num_bytes = (
+            element.num_bytes * n if element.num_bytes is not None else None
+        )
         self.name = f"[{element.name}; {n}]"
 
     def encode(self, value: Sequence[Any]) -> bytes:
@@ -148,9 +207,12 @@ class ArrayDescriptor(TypeDescriptor):
             raise SerializeError(f"expected {self.n} elements, got {len(value)}")
         return b"".join(self.element.encode(v) for v in value)
 
-    def decode(self, data: bytes) -> list:
-        k = self.element.num_bytes
-        return [self.element.decode(data[i * k : (i + 1) * k]) for i in range(self.n)]
+    def decode_from(self, data: bytes, offset: int) -> tuple[list, int]:
+        out = []
+        for _ in range(self.n):
+            v, offset = self.element.decode_from(data, offset)
+            out.append(v)
+        return out, offset
 
 
 class StructDescriptor(TypeDescriptor):
@@ -169,7 +231,8 @@ class StructDescriptor(TypeDescriptor):
     ):
         self.fields = list(fields)
         self.name = name
-        self.num_bytes = sum(d.num_bytes for _, d in self.fields)
+        sizes = [d.num_bytes for _, d in self.fields]
+        self.num_bytes = None if any(s is None for s in sizes) else sum(sizes)
         self._constructor = constructor
 
     def field_bit_offsets(self) -> dict[str, tuple[int, int]]:
@@ -196,15 +259,184 @@ class StructDescriptor(TypeDescriptor):
             parts.append(d.encode(v))
         return b"".join(parts)
 
-    def decode(self, data: bytes) -> Any:
+    def decode_from(self, data: bytes, offset: int) -> tuple[Any, int]:
         out = {}
-        off = 0
         for fname, d in self.fields:
-            out[fname] = d.decode(data[off : off + d.num_bytes])
-            off += d.num_bytes
+            out[fname], offset = d.decode_from(data, offset)
         if self._constructor is not None:
-            return self._constructor(**out)
-        return out
+            return self._constructor(**out), offset
+        return out, offset
+
+
+# -- variable-length types (bincode 2 fixint; see module docstring) -----------
+
+
+def _read_len_prefix(name: str, data: bytes, offset: int) -> tuple[int, int]:
+    """u64 LE length prefix (bincode fixint usize encoding) + bomb guards."""
+    end = offset + _LEN_BYTES
+    if end > len(data):
+        raise DeserializeError(f"{name}: truncated length prefix at {offset}")
+    n = int.from_bytes(data[offset:end], "little")
+    return n, end
+
+
+def _guard_alloc(name: str, n_bytes: int, data: bytes, offset: int) -> None:
+    """Reject decode bombs BEFORE materializing anything: a prefix may not
+    claim more than the cap (src/cipher.rs:15) nor more than the buffer
+    actually holds."""
+    if n_bytes > MAX_DECODE_BYTES:
+        raise DecodeTooLargeError(n_bytes, MAX_DECODE_BYTES)
+    if n_bytes > len(data) - offset:
+        raise DeserializeError(
+            f"{name}: length prefix claims {n_bytes} bytes but only "
+            f"{len(data) - offset} remain"
+        )
+
+
+class VecDescriptor(TypeDescriptor):
+    """``Vec<T>``: u64 LE element count + elements (bincode 2 fixint)."""
+
+    num_bytes = None
+
+    def __init__(self, element: TypeDescriptor):
+        self.element = element
+        self.name = f"Vec<{element.name}>"
+
+    def encode(self, value: Sequence[Any]) -> bytes:
+        items = list(value)
+        return len(items).to_bytes(_LEN_BYTES, "little") + b"".join(
+            self.element.encode(v) for v in items
+        )
+
+    def decode_from(self, data: bytes, offset: int) -> tuple[list, int]:
+        n, offset = _read_len_prefix(self.name, data, offset)
+        # each element occupies >= 1 byte (>= num_bytes when fixed), so the
+        # claimed allocation is bounded below by n * min_element_size
+        min_elem = self.element.num_bytes or 1
+        _guard_alloc(self.name, n * min_elem, data, offset)
+        out = []
+        for _ in range(n):
+            v, offset = self.element.decode_from(data, offset)
+            out.append(v)
+        return out, offset
+
+
+class StringDescriptor(TypeDescriptor):
+    """``String``: u64 LE byte count + UTF-8 bytes (bincode 2 fixint)."""
+
+    num_bytes = None
+    name = "String"
+
+    def encode(self, value: Any) -> bytes:
+        raw = str(value).encode("utf-8")
+        return len(raw).to_bytes(_LEN_BYTES, "little") + raw
+
+    def decode_from(self, data: bytes, offset: int) -> tuple[str, int]:
+        n, offset = _read_len_prefix(self.name, data, offset)
+        _guard_alloc(self.name, n, data, offset)
+        raw = data[offset : offset + n]
+        try:
+            return raw.decode("utf-8"), offset + n
+        except UnicodeDecodeError as e:
+            raise DeserializeError(f"String: invalid UTF-8: {e}") from e
+
+
+class OptionDescriptor(TypeDescriptor):
+    """``Option<T>``: 1-byte tag (0 = None, 1 = Some) + payload if Some."""
+
+    num_bytes = None
+
+    def __init__(self, element: TypeDescriptor):
+        self.element = element
+        self.name = f"Option<{element.name}>"
+
+    def encode(self, value: Any) -> bytes:
+        if value is None:
+            return b"\x00"
+        return b"\x01" + self.element.encode(value)
+
+    def decode_from(self, data: bytes, offset: int) -> tuple[Any, int]:
+        if offset >= len(data):
+            raise DeserializeError(f"{self.name}: missing tag byte")
+        tag = data[offset]
+        if tag == 0:
+            return None, offset + 1
+        if tag == 1:
+            return self.element.decode_from(data, offset + 1)
+        raise DeserializeError(f"{self.name}: invalid tag byte {tag}")
+
+
+class EnumDescriptor(TypeDescriptor):
+    """Rust enum: u32 LE discriminant + the variant's payload.
+
+    ``variants`` is a sequence of ``(name, payload_descriptor_or_None)`` in
+    declaration order (the discriminant is the index, bincode 2 default).
+    C-like enums use ``None`` payloads; values are the variant name (str)
+    for C-like variants, or ``(name, payload_value)`` tuples otherwise.
+    Fixed-size iff every variant payload has the same static size (e.g. all
+    C-like), letting pure C-like enums batch like ints.
+    """
+
+    def __init__(self, variants: Sequence[tuple[str, TypeDescriptor | None]],
+                 name: str = "enum"):
+        self.variants = list(variants)
+        if not self.variants:
+            raise ValueError("enum needs at least one variant")
+        self.name = name
+        self._index = {vname: i for i, (vname, _) in enumerate(self.variants)}
+        sizes = {
+            (d.num_bytes if d is not None else 0) for _, d in self.variants
+        }
+        self.num_bytes = (
+            _DISCRIMINANT_BYTES + sizes.pop()
+            if len(sizes) == 1 and None not in sizes
+            else None
+        )
+
+    def encode(self, value: Any) -> bytes:
+        if isinstance(value, tuple):
+            vname, payload = value
+        else:
+            vname, payload = value, None
+        if vname not in self._index:
+            raise SerializeError(f"{self.name}: unknown variant {vname!r}")
+        i = self._index[vname]
+        head = i.to_bytes(_DISCRIMINANT_BYTES, "little")
+        d = self.variants[i][1]
+        if d is None:
+            if payload is not None:
+                raise SerializeError(f"{self.name}::{vname} takes no payload")
+            return head
+        return head + d.encode(payload)
+
+    def decode_from(self, data: bytes, offset: int) -> tuple[Any, int]:
+        end = offset + _DISCRIMINANT_BYTES
+        if end > len(data):
+            raise DeserializeError(f"{self.name}: truncated discriminant")
+        i = int.from_bytes(data[offset:end], "little")
+        if i >= len(self.variants):
+            raise DeserializeError(
+                f"{self.name}: discriminant {i} out of range "
+                f"(have {len(self.variants)} variants)"
+            )
+        vname, d = self.variants[i]
+        if d is None:
+            return vname, end
+        payload, off = d.decode_from(data, end)
+        return (vname, payload), off
+
+
+def vec_of(element: TypeDescriptor) -> VecDescriptor:
+    return VecDescriptor(element)
+
+
+def option_of(element: TypeDescriptor) -> OptionDescriptor:
+    return OptionDescriptor(element)
+
+
+def enum_of(*variant_names: str, name: str = "enum") -> EnumDescriptor:
+    """C-like enum from variant names in declaration order."""
+    return EnumDescriptor([(v, None) for v in variant_names], name=name)
 
 
 # -- canonical instances ------------------------------------------------------
@@ -224,6 +456,7 @@ Isize = IntDescriptor(64, True, name="isize")
 Bool = BoolDescriptor()
 F32 = FloatDescriptor(32)
 F64 = FloatDescriptor(64)
+Str = StringDescriptor()
 
 _NUMPY_MAP = {
     np.dtype(np.uint8): U8, np.dtype(np.uint16): U16,
@@ -263,12 +496,14 @@ def struct_of(cls: type, **field_descs: TypeDescriptor) -> StructDescriptor:
 
 
 def descriptor_for(value: Any) -> TypeDescriptor:
-    """Infer a descriptor from a numpy scalar/bool/float; Python ints need an
-    explicit descriptor (their width is ambiguous)."""
+    """Infer a descriptor from a numpy scalar/bool/float/str; Python ints
+    need an explicit descriptor (their width is ambiguous)."""
     if isinstance(value, TypeDescriptor):
         return value
     if isinstance(value, (bool, np.bool_)):
         return Bool
+    if isinstance(value, str):
+        return Str
     if isinstance(value, np.generic):
         return _NUMPY_MAP[value.dtype]
     raise TypeError(
