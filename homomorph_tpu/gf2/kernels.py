@@ -133,7 +133,17 @@ def clmul(a: jax.Array, b: jax.Array) -> jax.Array:
       ``_STRIP`` limbs above that), when on a TPU backend with a batch that
       fills the 128-wide lane axis;
     * otherwise the pure-jnp path.
+
+    When a limb mesh is registered
+    (:func:`homomorph_tpu.parallel.limbmul.set_default_limb_mesh`), large
+    unbalanced products are first offered to the limb-sharded multi-chip
+    path; it declines (returns None) when the shapes don't qualify.
     """
+    from ..parallel import limbmul as _limbmul
+
+    sharded = _limbmul.maybe_sharded_clmul(a, b)
+    if sharded is not None:
+        return sharded
     La, Lb = a.shape[-1], b.shape[-1]
     lead = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     batch = int(np.prod(lead)) if lead else 1
