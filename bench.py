@@ -56,6 +56,40 @@ def _latency(fn, n_steps: int, warmup: int = 2) -> float:
     return float(np.median(times))
 
 
+def _device_busy_throughput(step_fn, arg, n_bits: int, reps: int = 4):
+    """Bits/s from profiler-measured device-busy time of the jitted step
+    (sums the top-level jit_* trace event).  Returns None on any failure
+    (e.g. profiler unsupported on the backend)."""
+    import glob
+    import gzip
+    import tempfile
+
+    import jax
+
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            jax.block_until_ready(step_fn(arg))
+            with jax.profiler.trace(td):
+                for _ in range(reps):
+                    jax.block_until_ready(step_fn(arg))
+            total_us = 0.0
+            for f in glob.glob(f"{td}/**/*.trace.json.gz", recursive=True):
+                with gzip.open(f) as fh:
+                    data = json.load(fh)
+                for e in data.get("traceEvents", []):
+                    if (
+                        e.get("ph") == "X"
+                        and e.get("name", "").startswith("jit_")
+                        and "dur" in e
+                    ):
+                        total_us += e["dur"]
+            if total_us <= 0:
+                return None
+            return n_bits / (total_us / reps / 1e6)
+    except Exception:
+        return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes / few steps")
@@ -104,6 +138,12 @@ def main() -> None:
     bit_enc_per_s = B / t
     log(f"encrypt(fused): {B} bits in {t*1e3:.2f} ms -> {bit_enc_per_s:,.0f} bit-enc/s")
 
+    # device-busy throughput (profiler): excludes this environment's
+    # per-dispatch tunnel overhead - the honest chip-side rate (see PERF.md)
+    dev_enc_per_s = _device_busy_throughput(enc_step, next(it), B)
+    if dev_enc_per_s:
+        log(f"encrypt device-busy: {dev_enc_per_s:,.0f} bit-enc/s on-silicon")
+
     ct = enc_step(keys[0])
 
     # ---- decrypt throughput + latency ------------------------------------
@@ -120,6 +160,42 @@ def main() -> None:
     ct32 = ct[:32]
     t_lat = _latency(lambda: dec_step(ct32), n_steps)
     log(f"decrypt u32 sync latency: {t_lat*1e6:.1f} us (incl. host RTT; ref: 12.5 us)")
+
+    # ---- device-only decrypt latency (pipelined-delta method) -------------
+    # The sync number above is dominated by this environment's ~30 ms tunnel
+    # RTT, not the chip.  Honest per-decrypt device latency: run K serially
+    # DEPENDENT u32 decrypts inside ONE program (each step folds its output
+    # back into the next input via a runtime zero, so XLA cannot parallelize
+    # or fold the chain), time two chain lengths, and divide the delta -
+    # host overhead and RTT cancel exactly.
+    def make_chain(K: int):
+        @jax.jit
+        def chain(c, z):
+            def body(carry, _):
+                bits = dec_core(carry)
+                return carry ^ (bits * z)[..., None], bits
+
+            _, outs = jax.lax.scan(body, c, None, length=K)
+            return outs
+
+        return chain
+
+    @jax.jit
+    def dec_core(c):
+        return gf2.decipher_bits(c, w)
+
+    z0 = jnp.uint32(0)
+    # chain lengths chosen so the work delta (~30 ms) dwarfs host RTT jitter
+    K1, K2 = (256, 2304) if args.quick else (8192, 40960)
+    chain1, chain2 = make_chain(K1), make_chain(K2)
+    t_c1 = _latency(lambda: chain1(ct32, z0), n_steps)
+    t_c2 = _latency(lambda: chain2(ct32, z0), n_steps)
+    dev_lat = max(0.0, (t_c2 - t_c1) / (K2 - K1))
+    log(
+        f"decrypt u32 device latency: {dev_lat*1e6:.2f} us serialized "
+        f"(ref: 12.5 us; chained-delta over {K2}-{K1} dependent decrypts, "
+        "includes per-step loop overhead - an upper bound)"
+    )
 
     # ---- homomorphic add u32 (batched) -----------------------------------
     n_add = 64 if args.quick else 2048
@@ -189,6 +265,10 @@ def main() -> None:
         "batch_bits": B,
         "decrypt_bits_per_s": round(dec_per_s, 1),
         "decrypt_u32_sync_latency_us": round(t_lat * 1e6, 2),
+        "decrypt_u32_device_latency_us": round(dev_lat * 1e6, 3),
+        "encrypt_device_busy_bits_per_s": (
+            round(dev_enc_per_s, 1) if dev_enc_per_s else None
+        ),
         "add_u32_per_s_batched": round(add_per_s, 2),
         "decipher_after_add_u32_per_s": round(dab_per_s, 2),
         "device": str(dev),

@@ -76,7 +76,10 @@ def _encrypt_kernel_v2(selw_ref, pkbits_ref, plain_ref, out_ref, *, tau: int, L:
     w_hi = jnp.where(in_limb & (k >= 16), (1 << kh), 0).astype(jnp.float32)
     lo = jnp.dot(cbits, w_lo, preferred_element_type=jnp.float32).astype(jnp.int32)
     hi = jnp.dot(cbits, w_hi, preferred_element_type=jnp.float32).astype(jnp.int32)
-    limbs = (lo.astype(U32)) | (hi.astype(U32) << U32(16))  # [TB, Lp]
+    # combine with MULTIPLY, not shift: Mosaic miscompiles shift-by-constant
+    # on lane-sliced vectors (measured on v5e: slice+cast+shl16 drops the
+    # byte; slice+cast+mul 2^16 is exact) - see exp_enc.py repro.
+    limbs = (lo.astype(U32)) | (hi.astype(U32) * U32(1 << 16))  # [TB, Lp]
     if Lp >= L:
         limbs = limbs[:, :L]
     else:

@@ -331,7 +331,10 @@ def reduction_rows(s: jax.Array, s_degree: int, n_rows: int) -> jax.Array:
     every row is 0.
     """
     Ls = limbs_for(s_degree)
-    sp = pad_limbs(s, Ls)
+    # fit, not pad: a key loaded from the reference's 64-bit-word byte
+    # format may carry a trailing all-zero limb (e.g. d=64 -> 4 limbs of
+    # which limb 3 is zero); trimming is sound because deg S = s_degree.
+    sp = fit_limbs(s, Ls)
     r0 = monomial(0, Ls)
 
     def step(r, _):
