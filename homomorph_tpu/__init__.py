@@ -8,6 +8,31 @@ a checked operation framework, and key/byte-format compatibility.
 
 The facade mirrors the reference's crate root + prelude re-exports
 (reference: src/lib.rs:240-255, src/prelude.rs:3-7).
+
+Quick start - executable, mirroring the reference's crate-root doc example
+(src/lib.rs:30-96; run by ``tests/test_docs.py``):
+
+>>> import homomorph_tpu as hm
+>>> ctx = hm.Context(hm.Parameters(64, 16, 1, 16), source=hm.ThreefrySource(7))
+>>> ctx.generate_secret_key()
+>>> ctx.generate_public_key()
+>>> c = ctx.encrypt(42, hm.U8)
+>>> int(ctx.decrypt(c))
+42
+
+Homomorphic arithmetic through the checked API:
+
+>>> from homomorph_tpu.models import HomomorphicAddition
+>>> a, b = ctx.encrypt(20, hm.U8), ctx.encrypt(22, hm.U8)
+>>> int(ctx.decrypt(ctx.apply2(HomomorphicAddition, a, b)))
+42
+
+Keys persist as reference-compatible bytes (src/lib.rs:39-54):
+
+>>> sk_bytes = ctx.get_secret_key().to_bytes()
+>>> restored = hm.SecretKey.from_bytes(sk_bytes)
+>>> int(c.decipher(restored))
+42
 """
 
 from .cipher import MAX_DECODE_BYTES, Ciphered, CipheredBit  # noqa: F401

@@ -24,6 +24,30 @@ Every type is described by a :class:`TypeDescriptor` with ``encode`` /
 static ``num_bytes``; variable-length types have ``num_bytes = None`` and
 derive the ciphertext bit-length from each value's actual encoding
 (``Ciphered::cipher`` semantics, src/cipher.rs:175-191).
+
+Wire-format examples (executable; run by ``tests/test_docs.py``):
+
+>>> from homomorph_tpu import codec
+>>> codec.U16.encode(0x1234).hex()       # fixint little-endian
+'3412'
+>>> codec.vec_of(codec.U8).encode([1, 2]).hex()   # u64 LE length prefix
+'02000000000000000102'
+>>> codec.Str.decode(bytes([2, 0, 0, 0, 0, 0, 0, 0]) + b'hi')
+'hi'
+>>> codec.option_of(codec.U8).encode(None).hex()  # 1-byte None tag
+'00'
+
+Structs concatenate fields in declaration order (the invariant the
+reference's unbalanced_struct example demonstrates):
+
+>>> import dataclasses
+>>> @dataclasses.dataclass
+... class Pair:
+...     x: codec.TypeDescriptor = codec.U8
+...     y: codec.TypeDescriptor = codec.U16
+>>> d = codec.struct_of(Pair, x=codec.U8, y=codec.U16)
+>>> d.encode({'x': 1, 'y': 0x0202}).hex()
+'010202'
 """
 
 from __future__ import annotations

@@ -52,6 +52,36 @@ __all__ = ["Context"]
 
 
 class Context:
+    """Parameters + keys + the safe checked API (src/context.rs:300-596).
+
+    Key-generation order is enforced (src/context.rs:444-454), and
+    generating or setting a secret key clears the public key
+    (src/context.rs:421-424, 568-571):
+
+    >>> import homomorph_tpu as hm
+    >>> ctx = hm.Context(hm.Parameters(64, 16, 1, 16), source=hm.ThreefrySource(1))
+    >>> ctx.generate_public_key()
+    Traceback (most recent call last):
+        ...
+    homomorph_tpu.utils.errors.SecretKeyUnsetError: Secret key not generated yet
+    >>> ctx.generate_secret_key()
+    >>> ctx.generate_public_key()
+    >>> ctx.generate_secret_key()          # invalidates the public key
+    >>> ctx.get_public_key() is None
+    True
+
+    The checked API validates ``d >= required * delta`` before applying
+    (src/context.rs:310-323):
+
+    >>> from homomorph_tpu.models import HomomorphicMultiplication
+    >>> small = hm.Context(hm.Parameters(32, 8, 2, 8))   # d/delta = 16 < 64
+    >>> small.validate_operation(HomomorphicMultiplication)
+    Traceback (most recent call last):
+        ...
+    homomorph_tpu.utils.errors.InvalidParametersError: operation requires \
+d/delta >= 64, got d=32, delta=2
+    """
+
     def __init__(
         self,
         parameters: Parameters,

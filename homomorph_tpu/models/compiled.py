@@ -28,6 +28,26 @@ from ..params import Parameters
 __all__ = ["compile_op2", "compile_op1", "compile_roundtrip"]
 
 
+def _derive_bound(apply_fn, bound: int, desc, *abstract_limbs) -> int:
+    """Output degree bound of an operation, derived by an abstract trace.
+
+    ``bound`` is a trace-time Python value, so it cannot be returned from
+    a jitted function; ``jax.eval_shape`` traces the op abstractly RIGHT
+    NOW (never cached, no device work), which makes capturing the Python-
+    level bound sound regardless of future jit retracing behaviour.
+    """
+    meta = {}
+
+    def probe(*limbs):
+        args = [Ciphered(x, bound, desc) for x in limbs]
+        out = apply_fn(*args)
+        meta["bound"] = out.bound
+        return out.limbs
+
+    jax.eval_shape(probe, *abstract_limbs)
+    return meta["bound"]
+
+
 def compile_op2(
     op, desc: _codec.TypeDescriptor, bound: int
 ) -> Callable[[Ciphered, Ciphered], Ciphered]:
@@ -36,19 +56,20 @@ def compile_op2(
     ``bound`` is the operands' degree bound (``params.pk_degree`` for
     fresh ciphertexts).  Shapes specialize on first call per batch shape.
     """
-    out_meta = {}
+    out_bound = {}
 
     @jax.jit
     def run(a_limbs, b_limbs):
         a = Ciphered(a_limbs, bound, desc)
         b = Ciphered(b_limbs, bound, desc)
-        out = op.unsafe_apply(a, b)
-        out_meta["bound"] = out.bound
-        return out.limbs
+        return op.unsafe_apply(a, b).limbs
 
     def call(a: Ciphered, b: Ciphered) -> Ciphered:
-        limbs = run(a.limbs, b.limbs)
-        return Ciphered(limbs, out_meta["bound"], desc)
+        if "v" not in out_bound:
+            out_bound["v"] = _derive_bound(
+                op.unsafe_apply, bound, desc, a.limbs, b.limbs
+            )
+        return Ciphered(run(a.limbs, b.limbs), out_bound["v"], desc)
 
     return call
 
@@ -56,18 +77,17 @@ def compile_op2(
 def compile_op1(
     op, desc: _codec.TypeDescriptor, bound: int
 ) -> Callable[[Ciphered], Ciphered]:
-    out_meta = {}
+    out_bound = {}
 
     @jax.jit
     def run(a_limbs):
         a = Ciphered(a_limbs, bound, desc)
-        out = op.unsafe_apply(a)
-        out_meta["bound"] = out.bound
-        return out.limbs
+        return op.unsafe_apply(a).limbs
 
     def call(a: Ciphered) -> Ciphered:
-        limbs = run(a.limbs)
-        return Ciphered(limbs, out_meta["bound"], desc)
+        if "v" not in out_bound:
+            out_bound["v"] = _derive_bound(op.unsafe_apply, bound, desc, a.limbs)
+        return Ciphered(run(a.limbs), out_bound["v"], desc)
 
     return call
 
@@ -104,7 +124,6 @@ def compile_roundtrip(
         a = Ciphered(_encrypt_core(sel_a, pk_bits, bits_a, L), bound, desc)
         b = Ciphered(_encrypt_core(sel_b, pk_bits, bits_b, L), bound, desc)
         out = op.unsafe_apply(a, b)
-        meta["L"] = out.limbs.shape[-1]
         return gf2.decipher_bits(out.limbs, w)
 
     def call(key, bits_a, bits_b):

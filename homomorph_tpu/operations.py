@@ -13,6 +13,23 @@ Mirrors the reference's operation layer (reference: src/operations.rs):
   (src/context.rs:310-323, 496-546).
 * :class:`OperationRequirement` - the ``MIN_D_OVER_DELTA`` metadata
   consumed by the checked API (src/operations.rs:24-27).
+
+Defining a custom operation - the executable analogue of the reference's
+trait doc examples (src/operations.rs:51-203; run by ``tests/test_docs.py``):
+
+>>> import homomorph_tpu as hm
+>>> from homomorph_tpu.models import circuits
+>>> class AddThenDouble(hm.HomomorphicOperation2):
+...     MIN_D_OVER_DELTA = 23     # one adder (21) + headroom for the shift
+...     @staticmethod
+...     def unsafe_apply(a, b):
+...         s = circuits.add(a, b)
+...         return circuits.add(s, s)
+>>> ctx = hm.Context(hm.Parameters(128, 16, 1, 16), source=hm.ThreefrySource(3))
+>>> ctx.generate_secret_key(); ctx.generate_public_key()
+>>> a, b = ctx.encrypt(10, hm.U8), ctx.encrypt(11, hm.U8)
+>>> int(ctx.decrypt(ctx.apply2(AddThenDouble, a, b)))
+42
 """
 
 from __future__ import annotations

@@ -1,0 +1,74 @@
+"""Worker process for the multi-host smoke test (see test_multihost.py).
+
+Runs as ONE of two cooperating processes: initializes jax.distributed
+against a localhost coordinator, builds the global mesh through
+homomorph_tpu.parallel.distributed, and drives a bulk encrypt/decrypt
+round-trip whose tau-psum collective crosses the process boundary.
+
+Usage: python multihost_worker.py <process_id> <num_processes> <port>
+"""
+
+import os
+import sys
+
+os.environ["PALLAS_AXON_POOL_IPS"] = ""  # skip axon PJRT registration
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+except Exception as e:  # jaxlib without gloo: report a clean skip
+    print(f"SKIP: no gloo cpu collectives ({e})", flush=True)
+    sys.exit(0)
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+
+    import homomorph_tpu as hm
+    from homomorph_tpu.gf2 import poly as gf2
+    from homomorph_tpu.parallel import bulk, distributed
+
+    distributed.initialize(f"127.0.0.1:{port}", nprocs, pid)
+    assert jax.process_count() == nprocs, jax.process_count()
+    n_global = len(jax.devices())
+    assert n_global == 2 * nprocs, n_global
+
+    # (data=nprocs, tau=2) global mesh: the data axis spans PROCESSES (the
+    # DCN analogue), the tau axis spans each process's local devices
+    cfg = distributed.global_mesh(n_tau=2)
+
+    # identical keys on every process (shared seed = the checkpoint/restore
+    # story: keys are the durable state)
+    params = hm.Parameters(64, 8, 1, 8)
+    ctx = hm.Context(params, source=hm.ThreefrySource(0))
+    ctx.generate_secret_key()
+    ctx.generate_public_key()
+    pk, sk = ctx.get_public_key(), ctx.get_secret_key()
+    L = gf2.limbs_for(params.pk_degree)
+
+    # identical global inputs on every process
+    rng = np.random.default_rng(7)
+    B, n = 4 * nprocs, 8
+    xs = rng.integers(0, 256, size=B).astype(np.uint8)
+    bits = np.unpackbits(xs[:, None], axis=1, bitorder="little").astype(np.uint32)
+    sel = rng.integers(0, 2, size=(B, n, params.tau)).astype(np.uint8)
+
+    ct = bulk.sharded_encrypt_bits(cfg, sel, pk.bit_planes(), bits, L)
+    out = bulk.sharded_decrypt_bits(cfg, ct, sk.decrypt_mask(L))
+
+    # every process checks its ADDRESSABLE shards against the expectation
+    for shard in out.addressable_shards:
+        got = np.asarray(shard.data)
+        want = bits[shard.index[0]]
+        assert (got == want).all(), (pid, shard.index, got, want)
+
+    print(f"MULTIHOST OK pid={pid} devices={n_global}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
