@@ -156,6 +156,9 @@ def main() -> None:
     t_dec = _throughput(lambda: dec_step(ct), n_steps)
     dec_per_s = B / t_dec
     log(f"decrypt: {dec_per_s:,.0f} bit-dec/s (batch)")
+    dev_dec_per_s = _device_busy_throughput(dec_step, ct, B)
+    if dev_dec_per_s:
+        log(f"decrypt device-busy: {dev_dec_per_s:,.0f} bit-dec/s on-silicon")
 
     ct32 = ct[:32]
     t_lat = _latency(lambda: dec_step(ct32), n_steps)
@@ -268,6 +271,9 @@ def main() -> None:
         "decrypt_u32_device_latency_us": round(dev_lat * 1e6, 3),
         "encrypt_device_busy_bits_per_s": (
             round(dev_enc_per_s, 1) if dev_enc_per_s else None
+        ),
+        "decrypt_device_busy_bits_per_s": (
+            round(dev_dec_per_s, 1) if dev_dec_per_s else None
         ),
         "add_u32_per_s_batched": round(add_per_s, 2),
         "decipher_after_add_u32_per_s": round(dab_per_s, 2),
