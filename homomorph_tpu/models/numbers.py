@@ -16,8 +16,8 @@ HomomorphicMultiplication  64 (conservative) column mult   (common.rs:66-163)
 
 Extensions NOT in the reference (same trait machinery, see class docs):
 ``HomomorphicSubtraction`` (21), ``HomomorphicNegation`` (21),
-``HomomorphicEquality`` (width-aware: requirement = operand bit width via
-``requirement_for``; blanket class constant 64),
+``HomomorphicEquality`` (width-aware: requirement = 2*width+1 via
+``requirement_for`` - the exact noise bound; all-widths class constant 257),
 ``HomomorphicLessThan`` / ``HomomorphicGreaterThan`` (21, unsigned
 borrow-chain comparison); plus ``circuits.le``/``ge``/``select`` (mux).
 
@@ -166,21 +166,25 @@ class HomomorphicGreaterThan(HomomorphicOperation2):
 class HomomorphicEquality(HomomorphicOperation2):
     """``a == b`` as a ``Ciphered[Bool]`` (not in the reference).
 
-    Lane-wise XNOR + AND-reduction tree: the exact requirement is the
-    plaintext bit width (boolean degree ``n`` - XNOR lanes are affine).
-    Through the checked API the requirement is therefore computed from the
-    operands (:meth:`requirement_for` = number of bit lanes), so u8 equality
-    only needs ``d/delta >= 8`` and u128/i128 equality is usable at
-    ``d/delta >= 128``.  The class constant keeps the reference-style
-    conservative blanket default for callers that inspect it without
-    operands (src/impls/numbers.rs:47-50 convention).
+    Lane-wise XNOR + AND-reduction tree over ``n`` bit lanes (boolean
+    degree ``n`` - XNOR lanes are affine).  Exact noise analysis: each
+    fresh ciphertext's noise term ``X * sum R_i`` has degree <= delta + 1
+    (keygen forces ``deg R_i = delta`` exactly), XNOR leaves it unchanged,
+    and the AND tree multiplies ``n`` of them, so decryption is correct
+    iff ``n * (delta + 1) < d``.  In the checked API's ``d >= r * delta``
+    form, ``r = 2n + 1`` is sufficient for every ``delta >= 1``
+    (``(2n+1)*delta >= n*delta + n + 1  <=>  delta*(n+1) >= n + 1``).
+    :meth:`requirement_for` therefore returns ``2 * width + 1`` - width-
+    aware (u8 needs 17, u128 needs 257) instead of one loose blanket.
+    The class constant is the all-widths-sound fallback for callers that
+    validate without operands.
     """
 
-    MIN_D_OVER_DELTA = 64
+    MIN_D_OVER_DELTA = 2 * 128 + 1  # sound for every shipped width
 
     @classmethod
     def requirement_for(cls, *operands: Ciphered) -> int:
-        return max(len(c) for c in operands)
+        return 2 * max(len(c) for c in operands) + 1
 
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:

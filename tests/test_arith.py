@@ -213,29 +213,31 @@ class TestExtensions:
         assert [bool(v) for v in got] == [True, False, True, False]
 
     def test_equality_requires_d_over_delta(self):
-        # Width-aware requirement: u8 equality needs d/delta >= 8.
+        # Width-aware requirement: u8 equality needs d/delta >= 17
+        # (= 2*8 + 1; exact noise bound, see HomomorphicEquality docs).
         import homomorph_tpu as hm
         from homomorph_tpu.models import HomomorphicEquality
         from homomorph_tpu.utils.errors import InvalidParametersError
 
-        c = hm.Context(hm.Parameters(32, 8, 8, 8), encrypt_seed=3)  # ratio 4
+        c = hm.Context(hm.Parameters(64, 8, 8, 8), encrypt_seed=3)  # ratio 8
         c.generate_secret_key()
         c.generate_public_key()
         a = c.encrypt(1, hm.U8)
         b = c.encrypt(1, hm.U8)
         with pytest.raises(InvalidParametersError):
             c.apply2(HomomorphicEquality, a, b)
-        # without operands, validate uses the blanket class constant
+        # without operands, validate uses the all-widths class constant
         with pytest.raises(InvalidParametersError):
             c.validate_operation(HomomorphicEquality)
 
     def test_equality_width_aware_narrow(self):
-        # u8 at d/delta = 8 passes the checked API (the blanket 64 would
-        # have rejected it) and decrypts correctly.
+        # u8 at d/delta = 20 passes the checked API (the all-widths blanket
+        # 257 would have rejected it) and decrypts correctly with margin:
+        # noise degree 8*(delta+1) = 72 < d = 160.
         import homomorph_tpu as hm
         from homomorph_tpu.models import HomomorphicEquality
 
-        c = hm.Context(hm.Parameters(64, 8, 8, 8), encrypt_seed=4)  # ratio 8
+        c = hm.Context(hm.Parameters(160, 8, 8, 8), encrypt_seed=4)
         c.generate_secret_key()
         c.generate_public_key()
         a = c.encrypt([9, 200], hm.U8, batch=True)
@@ -243,14 +245,35 @@ class TestExtensions:
         got = c.decrypt(c.apply2(HomomorphicEquality, a, b))
         assert [bool(v) for v in got] == [True, False]
 
+    def test_equality_width_requirement_is_sound_at_boundary(self):
+        """At the minimum checked parameters (d = 17*delta for u8) the
+        result must decrypt correctly - the requirement embeds the exact
+        noise bound n*(delta+1) < d, unlike the old width-only rule which
+        admitted parameters that failed depending on keygen randomness."""
+        import homomorph_tpu as hm
+        from homomorph_tpu.models import HomomorphicEquality
+
+        for seed in range(3):  # fresh random keys each time
+            c = hm.Context(hm.Parameters(17 * 8, 8, 8, 8))
+            c.generate_secret_key()
+            c.generate_public_key()
+            c.validate_operation(
+                HomomorphicEquality, c.encrypt(0, hm.U8), c.encrypt(0, hm.U8)
+            )
+            a = c.encrypt([77, 78], hm.U8, batch=True)
+            b = c.encrypt([77, 200], hm.U8, batch=True)
+            got = c.decrypt(c.apply2(HomomorphicEquality, a, b))
+            assert [bool(v) for v in got] == [True, False], seed
+
     def test_equality_u128_through_checked_api(self):
-        # u128 equality usable via apply2 at d/delta >= 128 (VERDICT item:
+        # u128 equality usable via apply2 at valid params (VERDICT item:
         # the old blanket MIN_D_OVER_DELTA=64 made this impossible).
+        # Required ratio 2*128+1 = 257; delta=1 -> d >= 257.
         import homomorph_tpu as hm
         from homomorph_tpu.cipher import Ciphered
         from homomorph_tpu.models import HomomorphicEquality
 
-        c = hm.Context(hm.Parameters(256, 8, 2, 8), encrypt_seed=5)  # ratio 128
+        c = hm.Context(hm.Parameters(512, 8, 1, 8), encrypt_seed=5)
         c.generate_secret_key()
         c.generate_public_key()
         x = (1 << 127) + 12345
