@@ -68,24 +68,36 @@ def trace(logdir: str = "/tmp/homomorph_tpu_trace"):
 def clmul_sol(batch: int, La: int, Lb: int, device=None) -> float:
     """Lower-bound seconds for a batched carry-less multiply.
 
-    Compute model: 32 bit planes x La x Lb limb updates, ~4 VPU ops each
-    (shift, select, 2 xor); memory model: read La+Lb limbs, write La+Lb.
+    Compute model (the shipped merged-pass kernel, gf2/kernels.py): 32 bit
+    planes x (Lb+1) read-modify-write passes over La output rows, ~2 VPU
+    ops per element (select + xor; the shifted operand is built once per
+    row); memory model: read La+Lb limbs, write La+Lb.  The measured v5e
+    kernel lands within ~1.2x of this compute bound (PERF.md).
     """
     peaks = chip_peaks(device)
-    compute = batch * 32 * La * Lb * 4 / peaks["vpu_ops"]
+    compute = batch * 32 * La * (Lb + 1) * 2 / peaks["vpu_ops"]
     memory = batch * (2 * (La + Lb)) * 4 / peaks["hbm_bw"]
     return max(compute, memory)
 
 
-def encrypt_sol(batch_bits: int, tau: int, pk_bits: int, device=None) -> float:
+def encrypt_sol(
+    batch_bits: int, tau: int, pk_bits: int, device=None, fused: bool = False
+) -> float:
     """Lower-bound seconds to encrypt ``batch_bits`` bits.
 
-    MXU: batch x tau x pk_bits MACs; HBM (fused kernel): read tau/8 + write
-    pk_bits/8 bytes per bit (pk resident in VMEM).
+    MXU: batch x tau x pk_bits MACs.  HBM: with ``fused=True`` (a kernel
+    keeping sel/counts in VMEM - not currently profitable, see PERF.md)
+    only selw in + limbs out move; the default models the shipped XLA
+    pipeline, which additionally materializes sel (bf16, write+read) and
+    counts (bf16, write+read) - the measured binding constraint: the v5e
+    runs this at ~100% of achievable HBM bandwidth.
     """
     peaks = chip_peaks(device)
     compute = batch_bits * tau * pk_bits * 2 / peaks["mxu_flops"]
-    memory = batch_bits * (tau / 8 + pk_bits / 8) / peaks["hbm_bw"]
+    per_bit_bytes = tau / 8 + pk_bits / 8
+    if not fused:
+        per_bit_bytes += 4 * tau + 4 * pk_bits  # bf16 sel + counts, w+r each
+    memory = batch_bits * per_bit_bytes / peaks["hbm_bw"]
     return max(compute, memory)
 
 
