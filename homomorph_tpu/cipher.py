@@ -55,10 +55,13 @@ def _encode_values(
 ) -> tuple[bytes, int]:
     """Encode a batch; return (payload, bits per value).
 
-    Fixed-size types always agree; variable-length types (Vec/String/
-    Option/enum) must encode to EQUAL lengths within one batch because a
-    ``Ciphered`` is one rectangular lane tensor (pad plaintexts or split
-    the batch otherwise)."""
+    Fixed-size types take the vectorized ``encode_batch`` staging path
+    (numpy, no per-value Python calls); variable-length types
+    (Vec/String/Option/enum) must encode to EQUAL lengths within one batch
+    because a ``Ciphered`` is one rectangular lane tensor (pad plaintexts
+    or split the batch otherwise)."""
+    if desc.is_fixed_size:
+        return desc.encode_batch(values), desc.num_bits
     payloads = [desc.encode(v) for v in values]
     n_bytes = len(payloads[0])
     if any(len(p) != n_bytes for p in payloads):
@@ -359,7 +362,7 @@ class Ciphered:
         host = np.asarray(jax.device_get(bits), dtype=np.uint8)
         flat = host.reshape(-1, n)
         data = np.packbits(flat, axis=-1, bitorder="little")
-        values = [self.desc.decode(row.tobytes()) for row in data]
+        values = self.desc.decode_batch(data)
         if self.batch_shape == ():
             return values[0]
         out = np.empty(len(values), dtype=object)

@@ -144,6 +144,22 @@ class TypeDescriptor:
         """Exact-size decode body for fixed-size types."""
         raise NotImplementedError
 
+    # -- batch staging (host-side hot path) ---------------------------------
+
+    def encode_batch(self, values: Sequence[Any]) -> bytes:
+        """Concatenated encodings of a batch.
+
+        The generic path is one Python ``encode`` call per value;
+        fixed-width numeric descriptors override this with a vectorized
+        numpy implementation (the host-side staging cost of
+        ``Ciphered.cipher(batch=True)`` at production batch sizes).
+        """
+        return b"".join(self.encode(v) for v in values)
+
+    def decode_batch(self, rows: "np.ndarray") -> list:
+        """Decode ``rows`` ([batch, num_bytes] uint8) to a list of values."""
+        return [self.decode(r.tobytes()) for r in rows]
+
     def __repr__(self) -> str:
         return self.name
 
@@ -167,6 +183,38 @@ class IntDescriptor(TypeDescriptor):
     def _decode_fixed(self, data: bytes) -> int:
         return int.from_bytes(data, "little", signed=self.signed)
 
+    def encode_batch(self, values: Sequence[Any]) -> bytes:
+        """Vectorized batch encode for machine widths (1/2/4/8 bytes).
+
+        Falls back to the per-value path (which raises precise
+        SerializeErrors) on non-machine widths, non-numeric input, or any
+        out-of-range element."""
+        if self.num_bytes not in (1, 2, 4, 8):
+            return super().encode_batch(values)
+        try:
+            arr = np.asarray(values, dtype=np.int64 if self.signed else np.uint64)
+        except (OverflowError, TypeError, ValueError):
+            return super().encode_batch(values)
+        if arr.ndim != 1 or arr.size == 0:
+            return super().encode_batch(values)
+        if self.signed:
+            lo, hi = -(1 << (self.bits - 1)), (1 << (self.bits - 1)) - 1
+        else:
+            lo, hi = 0, (1 << self.bits) - 1
+        if int(arr.min()) < lo or int(arr.max()) > hi:
+            return super().encode_batch(values)  # per-value errors
+        kind = "i" if self.signed else "u"
+        return arr.astype(f"<{kind}{self.num_bytes}").tobytes()
+
+    def decode_batch(self, rows: "np.ndarray") -> list:
+        if self.num_bytes not in (1, 2, 4, 8):
+            return super().decode_batch(rows)
+        kind = "i" if self.signed else "u"
+        arr = np.ascontiguousarray(rows, dtype=np.uint8).view(
+            f"<{kind}{self.num_bytes}"
+        ).reshape(len(rows))
+        return [int(v) for v in arr]
+
 
 class BoolDescriptor(TypeDescriptor):
     name = "bool"
@@ -179,6 +227,15 @@ class BoolDescriptor(TypeDescriptor):
         if data not in (b"\x00", b"\x01"):
             raise DeserializeError(f"invalid bool byte {data!r}")
         return data == b"\x01"
+
+    def encode_batch(self, values: Sequence[Any]) -> bytes:
+        return np.asarray([bool(v) for v in values], dtype=np.uint8).tobytes()
+
+    def decode_batch(self, rows: "np.ndarray") -> list:
+        flat = np.ascontiguousarray(rows, dtype=np.uint8).reshape(len(rows))
+        if ((flat != 0) & (flat != 1)).any():
+            return super().decode_batch(rows)  # per-value error
+        return [bool(v) for v in flat]
 
 
 class FloatDescriptor(TypeDescriptor):
@@ -196,6 +253,19 @@ class FloatDescriptor(TypeDescriptor):
 
     def _decode_fixed(self, data: bytes) -> float:
         return _struct.unpack(self._fmt, data)[0]
+
+    def encode_batch(self, values: Sequence[Any]) -> bytes:
+        try:
+            arr = np.asarray(values, dtype=np.float32 if self.bits == 32 else np.float64)
+        except (TypeError, ValueError):
+            return super().encode_batch(values)
+        return arr.astype(f"<f{self.num_bytes}").tobytes()
+
+    def decode_batch(self, rows: "np.ndarray") -> list:
+        arr = np.ascontiguousarray(rows, dtype=np.uint8).view(
+            f"<f{self.num_bytes}"
+        ).reshape(len(rows))
+        return [float(v) for v in arr]
 
 
 class BytesDescriptor(TypeDescriptor):

@@ -1,0 +1,72 @@
+"""Vectorized batch staging (codec.encode_batch / decode_batch).
+
+The host-side cost of ``Ciphered.cipher(batch=True)`` at production batch
+sizes is plaintext staging; fixed-width numeric descriptors vectorize it
+through numpy (measured 5-7x from Python lists, ~100x from arrays).  These
+tests pin bit-exact equivalence with the per-value path across widths and
+edge values, and that error semantics survive the fast path.
+"""
+
+import numpy as np
+import pytest
+
+import homomorph_tpu as hm
+from homomorph_tpu import codec
+
+EDGE_CASES = [
+    (codec.U8, [0, 1, 255, 128]),
+    (codec.U16, [0, 65535, 1234]),
+    (codec.U32, [0, 2**32 - 1, 7]),
+    (codec.U64, [0, 2**64 - 1, 2**63]),
+    (codec.U128, [0, 2**128 - 1]),          # non-machine width: slow path
+    (codec.I8, [-128, 127, 0, -1]),
+    (codec.I16, [-32768, 32767]),
+    (codec.I64, [-2**63, 2**63 - 1, -5]),
+    (codec.I128, [-2**127, 2**127 - 1]),    # non-machine width: slow path
+    (codec.Bool, [True, False, True]),
+    (codec.F32, [1.5, -0.25, 3.14e8]),
+    (codec.F64, [1e-300, -2.5, 0.0]),
+]
+
+
+@pytest.mark.parametrize("desc,vals", EDGE_CASES, ids=lambda x: getattr(x, "name", ""))
+def test_batch_matches_per_value(desc, vals):
+    fast = desc.encode_batch(vals)
+    slow = b"".join(desc.encode(v) for v in vals)
+    assert fast == slow
+    rows = np.frombuffer(fast, np.uint8).reshape(len(vals), desc.num_bytes)
+    assert desc.decode_batch(rows) == [desc.decode(r.tobytes()) for r in rows]
+
+
+class TestErrorSemantics:
+    def test_out_of_range_raises_per_value_error(self):
+        with pytest.raises(hm.SerializeError, match="u8"):
+            codec.U8.encode_batch([1, 300])
+        with pytest.raises(hm.SerializeError):
+            codec.I8.encode_batch([-129])
+        with pytest.raises(hm.SerializeError):
+            codec.U64.encode_batch([-1])
+
+    def test_non_numeric_raises(self):
+        with pytest.raises(hm.SerializeError):
+            codec.I16.encode_batch([1, "x"])
+
+    def test_bool_decode_validates(self):
+        with pytest.raises(hm.DeserializeError, match="bool"):
+            codec.Bool.decode_batch(np.array([[2]], dtype=np.uint8))
+
+
+class TestEndToEnd:
+    def test_batched_cipher_uses_fast_path(self):
+        ctx = hm.Context(
+            hm.Parameters(64, 32, 8, 32), source=hm.ThreefrySource(6)
+        )
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+        rng = np.random.default_rng(3)
+        xs = [int(v) for v in rng.integers(0, 2**32, size=16, dtype=np.uint64)]
+        c = ctx.encrypt(xs, hm.U32, batch=True)
+        assert [int(v) for v in ctx.decrypt(c)] == xs
+        fs = [float(v) for v in rng.normal(size=8).astype(np.float32)]
+        cf = ctx.encrypt(fs, hm.F32, batch=True)
+        assert [float(v) for v in ctx.decrypt(cf)] == fs
