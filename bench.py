@@ -313,10 +313,35 @@ def main() -> None:
         t_sd = _throughput(lambda: sdec(sct), max(4, n_steps // 2))
         log(
             f"scaled d=dp=1024 tau=256: enc {s_enc_per_s:,.0f} bits/s, "
-            f"dec {sB/t_sd:,.0f} bits/s"
+            f"dec {sB/t_sd:,.0f} bits/s (1e5-bit bulk, BASELINE config)"
         )
         extras["scaled_1024_encrypt_bits_per_s"] = round(s_enc_per_s, 1)
         extras["scaled_1024_decrypt_bits_per_s"] = round(sB / t_sd, 1)
+
+        # production batch (2^20 bits): amortizes the per-dispatch overhead
+        # that dominates the 1e5-bit number (see PERF.md)
+        lB = 1 << 20
+        lplain = jnp.zeros((lB,), dtype=jnp.uint32)
+
+        @jax.jit
+        def senc_large(key):
+            selw = jax.random.bits(key, (lB, sW), dtype=jnp.uint32)
+            return encrypt_bits_fused(selw, spk_bits, lplain, sL)
+
+        t_l = _throughput(lambda: senc_large(next(it)), max(3, n_steps // 4))
+        lct = senc_large(keys[1])
+
+        @jax.jit
+        def sdec_large(c):
+            return gf2.decipher_bits(c, sw)
+
+        t_ld = _throughput(lambda: sdec_large(lct), max(3, n_steps // 4))
+        log(
+            f"scaled d=dp=1024 tau=256 @2^20: enc {lB/t_l:,.0f} bits/s, "
+            f"dec {lB/t_ld:,.0f} bits/s"
+        )
+        extras["scaled_1024_encrypt_bits_per_s_2e20"] = round(lB / t_l, 1)
+        extras["scaled_1024_decrypt_bits_per_s_2e20"] = round(lB / t_ld, 1)
 
     result = {
         "metric": "bit_encryptions_per_s_per_chip",
