@@ -236,6 +236,7 @@ class Ciphered:
         key: jax.Array | None = None,
         source: _rng.RandomSource | None = None,
         batch: bool = False,
+        sharding=None,
     ) -> "Ciphered":
         """Encrypt ``data`` (reference: src/cipher.rs:153-191).
 
@@ -249,7 +250,12 @@ class Ciphered:
           replay.
 
         With ``batch=True``, ``data`` is a sequence of values encrypted as
-        one leading batch dimension.
+        one leading batch dimension.  With ``sharding=`` (a
+        :class:`~homomorph_tpu.parallel.mesh.ShardingConfig`), the batch
+        is encrypted through the sharded bulk pipeline: the value axis is
+        data-parallel and the public key is tau-sharded with a parity-
+        domain psum; requires ``batch=True``, the ``key`` randomness mode,
+        and a batch divisible by the mesh's data axis.
         """
         if (key is None) == (source is None):
             raise ValueError("pass exactly one of key= or source=")
@@ -268,6 +274,25 @@ class Ciphered:
         L = gf2.limbs_for(bound)
         total = len(values) * n_bits
         W = -(-tau // 32)
+
+        if sharding is not None:
+            if key is None or not batch:
+                raise ValueError(
+                    "sharding= requires the key= randomness mode and batch=True"
+                )
+            n_data = sharding.mesh.shape[sharding.data_axis]
+            if len(values) % n_data:
+                raise ValueError(
+                    f"batch of {len(values)} values not divisible by the "
+                    f"mesh data axis ({n_data})"
+                )
+            from .parallel import bulk
+
+            sel = _random_selection(key, shape, tau)
+            limbs = bulk.sharded_encrypt_bits(
+                sharding, sel, pk.bit_planes(), jnp.asarray(all_bits), L
+            )
+            return cls(limbs, bound, desc)
 
         if key is not None and total % 128 == 0:
             # Fused Pallas path: packed selection words straight into the

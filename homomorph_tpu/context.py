@@ -88,7 +88,16 @@ d/delta >= 64, got d=32, delta=2
         *,
         source: _rng.RandomSource | None = None,
         encrypt_seed: int | None = None,
+        sharding=None,
     ):
+        """``sharding=`` (a :class:`~homomorph_tpu.parallel.mesh.
+        ShardingConfig`) turns this into a DISTRIBUTED context: batched
+        ``encrypt`` routes through the sharded bulk pipeline (value axis
+        data-parallel, tau-sharded public key with parity-domain psum) and
+        the resulting ciphertexts stay sharded over the mesh; ``decrypt``
+        follows the input sharding automatically (SPMD).  The reference
+        has no distributed mode (SURVEY §5.8); this is the TPU-native
+        scale-out surface."""
         self._parameters = parameters
         self._secret_key: _keys.SecretKey | None = None
         self._public_key: _keys.PublicKey | None = None
@@ -99,6 +108,7 @@ d/delta >= 64, got d=32, delta=2
             jax.random.key(encrypt_seed) if encrypt_seed is not None else None
         )
         self._use_source_for_encrypt = source is not None
+        self._sharding = sharding
 
     # -- accessors (src/context.rs:353-402) ----------------------------------
 
@@ -157,7 +167,10 @@ d/delta >= 64, got d=32, delta=2
             self._enc_key, sub = jax.random.split(self._enc_key)
         else:
             sub = _rng.os_entropy_key()  # fresh OS entropy per stream
-        return Ciphered.cipher(data, self._public_key, desc, key=sub, batch=batch)
+        sharding = self._sharding if batch else None
+        return Ciphered.cipher(
+            data, self._public_key, desc, key=sub, batch=batch, sharding=sharding
+        )
 
     def decrypt(self, ciphered: Ciphered) -> Any:
         if self._secret_key is None:

@@ -97,3 +97,76 @@ def test_graft_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+class TestShardedContext:
+    """Context(sharding=cfg): the distributed production surface."""
+
+    @needs_8
+    def test_encrypt_decrypt_through_sharded_context(self):
+        cfg = make_mesh(4, 2)
+        ctx = hm.Context(hm.Parameters(64, 16, 1, 16), sharding=cfg)
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+        xs = list(range(40, 48))  # 8 values, divisible by data axis (4)
+        c = ctx.encrypt(xs, hm.U8, batch=True)
+        # ciphertext lives sharded over the mesh's data axis
+        spec = c.limbs.sharding.spec
+        assert spec[0] == "data", spec
+        assert [int(v) for v in ctx.decrypt(c)] == xs
+
+    @needs_8
+    def test_sharded_matches_unsharded_plaintexts(self):
+        cfg = make_mesh(8, 1)
+        p = hm.Parameters(64, 16, 1, 16)
+        keygen = hm.Context(p, source=hm.ThreefrySource(13))
+        keygen.generate_secret_key()
+        keygen.generate_public_key()
+        sk_b = keygen.get_secret_key().to_bytes()
+        pk_b = keygen.get_public_key().to_bytes()
+
+        sharded = hm.Context(p, encrypt_seed=5, sharding=cfg)
+        sharded.set_secret_key(hm.SecretKey.from_bytes(sk_b))
+        sharded.set_public_key(hm.PublicKey.from_bytes(pk_b))
+        plain = hm.Context(p, encrypt_seed=5)
+        plain.set_secret_key(hm.SecretKey.from_bytes(sk_b))
+        plain.set_public_key(hm.PublicKey.from_bytes(pk_b))
+
+        xs = [7, 200, 0, 255] * 2
+        c_sh = sharded.encrypt(xs, hm.U8, batch=True)
+        # same encrypt_seed, same pk -> identical ciphertext bits
+        c_pl = plain.encrypt(xs, hm.U8, batch=True)
+        np.testing.assert_array_equal(np.asarray(c_sh.limbs), np.asarray(c_pl.limbs))
+        # cross-decrypt: the plain context decrypts the sharded ciphertext
+        assert [int(v) for v in plain.decrypt(c_sh)] == xs
+
+    @needs_8
+    def test_homomorphic_op_on_sharded_ciphertexts(self):
+        from homomorph_tpu.models import HomomorphicAddition
+
+        cfg = make_mesh(4, 2)
+        ctx = hm.Context(hm.Parameters(64, 16, 1, 16), sharding=cfg)
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+        a = ctx.encrypt([10, 20, 30, 40], hm.U8, batch=True)
+        b = ctx.encrypt([1, 2, 3, 4], hm.U8, batch=True)
+        s = ctx.apply2(HomomorphicAddition, a, b)
+        assert [int(v) for v in ctx.decrypt(s)] == [11, 22, 33, 44]
+
+    @needs_8
+    def test_indivisible_batch_rejected(self):
+        cfg = make_mesh(8, 1)
+        ctx = hm.Context(hm.Parameters(64, 16, 1, 16), sharding=cfg)
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+        with pytest.raises(ValueError, match="not divisible"):
+            ctx.encrypt([1, 2, 3], hm.U8, batch=True)
+
+    @needs_8
+    def test_single_value_bypasses_sharding(self):
+        cfg = make_mesh(8, 1)
+        ctx = hm.Context(hm.Parameters(64, 16, 1, 16), sharding=cfg)
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+        c = ctx.encrypt(99, hm.U8)  # batch=False -> plain single-device path
+        assert int(ctx.decrypt(c)) == 99
