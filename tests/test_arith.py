@@ -340,3 +340,42 @@ class TestExtensions:
         cond2 = circuits.gt(a, b)  # both False
         got2 = circuits.select(cond2[0], a, b).decipher(sk)
         assert [int(v) for v in got2] == [30, 40]
+
+
+@pytest.mark.slow
+class TestWideMultiplication:
+    """Degree-growth stress (SURVEY §7 hard parts): multiplication beyond
+    the reference's u8 bench width."""
+
+    def test_u16_mul(self):
+        import homomorph_tpu as hm
+        from homomorph_tpu.models import HomomorphicMultiplication
+
+        ctx = hm.Context(hm.Parameters(128, 16, 1, 16), encrypt_seed=51)
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+        xs = [3, 257, 65535]
+        ys = [5, 255, 3]
+        a = ctx.encrypt(xs, hm.U16, batch=True)
+        b = ctx.encrypt(ys, hm.U16, batch=True)
+        got = ctx.decrypt(ctx.apply2(HomomorphicMultiplication, a, b))
+        assert [int(v) for v in got] == [
+            (x * y) & 0xFFFF for x, y in zip(xs, ys)
+        ]
+
+    def test_i16_mul_negative(self):
+        import homomorph_tpu as hm
+        from homomorph_tpu.models import HomomorphicMultiplication
+
+        ctx = hm.Context(hm.Parameters(128, 16, 1, 16), encrypt_seed=52)
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+        xs = [-3, 300]
+        ys = [5, -100]
+        a = ctx.encrypt(xs, hm.I16, batch=True)
+        b = ctx.encrypt(ys, hm.I16, batch=True)
+        got = ctx.decrypt(ctx.apply2(HomomorphicMultiplication, a, b))
+        def wrap(v):
+            v &= 0xFFFF
+            return v - 0x10000 if v >= 0x8000 else v
+        assert [int(v) for v in got] == [wrap(x * y) for x, y in zip(xs, ys)]
