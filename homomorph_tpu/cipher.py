@@ -414,7 +414,12 @@ class Ciphered:
     def __len__(self) -> int:
         return self.limbs.shape[-2]
 
-    def __getitem__(self, i: int) -> CipheredBit:
+    def __getitem__(self, i):
+        """Bit-lane access: ``c[i]`` -> :class:`CipheredBit`, ``c[a:b]`` ->
+        list of lanes (the reference's ``Deref<[CipheredBit]>`` slice
+        semantics, src/cipher.rs:253-259)."""
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
         return CipheredBit(self.limbs[..., i, :], self.bound)
 
     def bits(self) -> list[CipheredBit]:

@@ -126,3 +126,17 @@ def test_nary_operation():
     cs = [ctx.encrypt(v, hm.U8) for v in (10, 20, 30)]
     out = ctx.apply_n(Sum3, cs)
     assert ctx.decrypt(out) == 60
+
+
+def test_bit_lane_slicing():
+    """c[a:b] mirrors the reference's Deref<[CipheredBit]> slice semantics."""
+    import homomorph_tpu as hm
+    from homomorph_tpu.cipher import Ciphered
+
+    c = Ciphered.trivial(0b10110101, hm.U8)
+    lanes = c[2:6]
+    assert len(lanes) == 4
+    rebuilt = Ciphered.new_from_raw(c[:], hm.U8)  # full slice
+    import numpy as np
+
+    np.testing.assert_array_equal(np.asarray(rebuilt.limbs), np.asarray(c.limbs))
