@@ -102,6 +102,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     import homomorph_tpu as hm
+
+    hm.enable_compilation_cache()  # amortize big-circuit compiles across runs
     from homomorph_tpu.cipher import _encrypt_core, _random_selection
     from homomorph_tpu.gf2 import poly as gf2
     from homomorph_tpu.gf2.encrypt_kernel import encrypt_bits_fused

@@ -77,6 +77,7 @@ from .operations import (  # noqa: F401
 )
 from .params import Parameters  # noqa: F401
 from .rng import OsRandomSource, RandomSource, RecordedSource, ThreefrySource  # noqa: F401
+from .utils.cache import enable_compilation_cache  # noqa: F401
 from .utils.errors import (  # noqa: F401
     CipherError,
     ContextCryptoError,
@@ -108,6 +109,7 @@ __all__ = [
     "OperationRequirement",
     "RandomSource",
     "OsRandomSource",
+    "enable_compilation_cache",
     "RecordedSource",
     "ThreefrySource",
     # codec

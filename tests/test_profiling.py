@@ -81,3 +81,13 @@ class TestTrace:
         assert d == logdir
         files = glob.glob(os.path.join(logdir, "**", "*"), recursive=True)
         assert files, "profiler wrote nothing"
+
+
+class TestCompilationCache:
+    def test_enable_is_idempotent_and_creates_dir(self, tmp_path):
+        import homomorph_tpu as hm
+
+        d = str(tmp_path / "xla_cache")
+        got = hm.enable_compilation_cache(d)
+        assert got == d and os.path.isdir(d)
+        assert hm.enable_compilation_cache(d) == d  # second call is a no-op
