@@ -93,7 +93,7 @@ from .utils.errors import (  # noqa: F401
     SerializeError,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Parameters",
