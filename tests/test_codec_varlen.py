@@ -183,3 +183,60 @@ class TestCipheredVarlen:
         as_vec = bomb.reinterpret(hm.vec_of(hm.U8))
         with pytest.raises(hm.DecodeTooLargeError):
             ctx.decrypt(as_vec)
+
+
+class TestDecoderFuzz:
+    """Arbitrary bytes through the varlen decoders must either decode or
+    raise the TYPED errors (DeserializeError / DecodeTooLargeError) -
+    never crash with anything else, never hang, never allocate per an
+    attacker-controlled length prefix (the decode-bomb contract)."""
+
+    DESCRIPTORS = None  # built lazily to use hm at runtime
+
+    @classmethod
+    def _descriptors(cls):
+        if cls.DESCRIPTORS is None:
+            cls.DESCRIPTORS = [
+                hm.vec_of(hm.U8),
+                hm.vec_of(hm.U32),
+                hm.vec_of(hm.vec_of(hm.U8)),
+                hm.Str,
+                hm.option_of(hm.U16),
+                hm.option_of(hm.Str),
+                hm.enum_of("A", "B", "C"),
+                codec.EnumDescriptor([("X", None), ("Y", hm.vec_of(hm.U8))]),
+                codec.StructDescriptor([("a", hm.U8), ("b", hm.Str)]),
+                codec.ArrayDescriptor(hm.option_of(hm.U8), 3),
+            ]
+        return cls.DESCRIPTORS
+
+    def test_random_bytes_never_crash(self):
+        rng = np.random.default_rng(0xFADE)
+        for desc in self._descriptors():
+            for _ in range(200):
+                n = int(rng.integers(0, 40))
+                data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+                try:
+                    desc.decode(data)
+                except (hm.DeserializeError, hm.DecodeTooLargeError):
+                    pass
+
+    def test_adversarial_length_prefixes(self):
+        for desc in (hm.vec_of(hm.U8), hm.Str, hm.vec_of(hm.vec_of(hm.U8))):
+            for n in (2**63, 2**64 - 1, hm.MAX_DECODE_BYTES + 1, 2**32):
+                data = int(n).to_bytes(8, "little") + b"\x00" * 16
+                with pytest.raises((hm.DeserializeError, hm.DecodeTooLargeError)):
+                    desc.decode(data)
+
+    def test_roundtrip_fuzz(self):
+        """encode -> decode is the identity for random well-formed values."""
+        rng = np.random.default_rng(0xBEEF)
+        vec8 = hm.vec_of(hm.U8)
+        opt = hm.option_of(hm.U16)
+        for _ in range(100):
+            v = [int(x) for x in rng.integers(0, 256, size=rng.integers(0, 9))]
+            assert vec8.decode(vec8.encode(v)) == v
+            o = None if rng.random() < 0.3 else int(rng.integers(0, 65536))
+            assert opt.decode(opt.encode(o)) == o
+            s = "".join(chr(c) for c in rng.integers(32, 0x300, size=6))
+            assert hm.Str.decode(hm.Str.encode(s)) == s
