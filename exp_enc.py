@@ -131,9 +131,6 @@ def main():
     plain2d = jnp.zeros((B, 1), dtype=U32)
     key = jax.random.key(1)
 
-    selw = jax.random.bits(key, (B, W), dtype=U32)
-    sel_i8 = gf2.unpack_bits(selw, tau, dtype=jnp.int8)
-    sel_bf = gf2.unpack_bits(selw, tau, dtype=jnp.bfloat16)
     packw = jnp.asarray(pack_weights_b4(D), dtype=jnp.bfloat16)
 
     results = {}

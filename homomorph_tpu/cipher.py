@@ -60,6 +60,8 @@ def _encode_values(
     (Vec/String/Option/enum) must encode to EQUAL lengths within one batch
     because a ``Ciphered`` is one rectangular lane tensor (pad plaintexts
     or split the batch otherwise)."""
+    if not values:
+        raise SerializeError("cannot encrypt an empty batch")
     if desc.is_fixed_size:
         return desc.encode_batch(values), desc.num_bits
     payloads = [desc.encode(v) for v in values]

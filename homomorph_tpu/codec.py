@@ -187,24 +187,29 @@ class IntDescriptor(TypeDescriptor):
         """Vectorized batch encode for machine widths (1/2/4/8 bytes).
 
         Falls back to the per-value path (which raises precise
-        SerializeErrors) on non-machine widths, non-numeric input, or any
-        out-of-range element."""
+        SerializeErrors) on non-machine widths, non-integer input, or any
+        out-of-range element.  The range check runs on the input's OWN
+        dtype before any cast: ``np.asarray(ndarray, dtype=...)`` is a
+        silent C-cast (no OverflowError), so casting first would wrap
+        opposite-signedness values (e.g. uint64 2^64-1 -> int64 -1) past
+        the check and silently encrypt corrupted plaintexts."""
         if self.num_bytes not in (1, 2, 4, 8):
             return super().encode_batch(values)
         try:
-            arr = np.asarray(values, dtype=np.int64 if self.signed else np.uint64)
-        except (OverflowError, TypeError, ValueError):
+            raw = np.asarray(values)
+        except (TypeError, ValueError):
             return super().encode_batch(values)
-        if arr.ndim != 1 or arr.size == 0:
-            return super().encode_batch(values)
+        if raw.ndim != 1 or raw.size == 0 or raw.dtype.kind not in "iu":
+            return super().encode_batch(values)  # object/float/bool/str etc.
         if self.signed:
             lo, hi = -(1 << (self.bits - 1)), (1 << (self.bits - 1)) - 1
         else:
             lo, hi = 0, (1 << self.bits) - 1
-        if int(arr.min()) < lo or int(arr.max()) > hi:
+        # exact: min/max on the original dtype, compared as Python ints
+        if int(raw.min()) < lo or int(raw.max()) > hi:
             return super().encode_batch(values)  # per-value errors
         kind = "i" if self.signed else "u"
-        return arr.astype(f"<{kind}{self.num_bytes}").tobytes()
+        return raw.astype(f"<{kind}{self.num_bytes}").tobytes()
 
     def decode_batch(self, rows: "np.ndarray") -> list:
         if self.num_bytes not in (1, 2, 4, 8):

@@ -108,6 +108,13 @@ d/delta >= 64, got d=32, delta=2
             jax.random.key(encrypt_seed) if encrypt_seed is not None else None
         )
         self._use_source_for_encrypt = source is not None
+        if sharding is not None and source is not None:
+            raise ValueError(
+                "sharding= is incompatible with source=: the host byte-"
+                "stream replay path encrypts bit-by-bit and cannot route "
+                "through the sharded bulk pipeline; use encrypt_seed= for "
+                "deterministic distributed encryption"
+            )
         self._sharding = sharding
 
     # -- accessors (src/context.rs:353-402) ----------------------------------

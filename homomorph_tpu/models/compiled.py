@@ -107,7 +107,16 @@ def compile_roundtrip(
     if pk is None or sk is None:
         raise ValueError("context needs both keys")
     params: Parameters = ctx.parameters
-    ctx.validate_operation(op)
+    if desc.is_fixed_size:
+        # validate with the statically-known operand width so width-aware
+        # requirements (requirement_for) apply, not the blanket constant
+        class _Lanes:
+            def __len__(self):
+                return desc.num_bits
+
+        ctx.validate_operation(op, _Lanes(), _Lanes())
+    else:
+        ctx.validate_operation(op)
     bound = pk.max_degree
     L = gf2.limbs_for(bound)
     pk_bits = pk.bit_planes()

@@ -39,6 +39,16 @@ def _encrypt_local(sel, pk_bits, plain_bits, out_limbs: int):
     return gf2.xor_const_bit(limbs, plain_bits.astype(jnp.uint32))
 
 
+def _decrypt_local(limbs, w):
+    """Per-shard body: the limb-mesh clmul dispatcher must stay inert
+    inside this manual-sharding region (nested shard_map over a different
+    mesh fails at trace time)."""
+    from .limbmul import suppress_sharded_clmul
+
+    with suppress_sharded_clmul():
+        return gf2.decipher_bits(limbs, w)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 4))
 def _sharded_encrypt(cfg: ShardingConfig, sel, pk_bits, plain_bits, out_limbs: int):
     mesh = cfg.mesh
@@ -79,7 +89,7 @@ def sharded_encrypt_bits(
 @functools.partial(jax.jit, static_argnums=(0,))
 def _sharded_decrypt(cfg: ShardingConfig, limbs, w):
     fn = jax.shard_map(
-        gf2.decipher_bits,
+        _decrypt_local,
         mesh=cfg.mesh,
         in_specs=(P(DATA_AXIS, None, None), P(None)),
         out_specs=P(DATA_AXIS, None),

@@ -62,7 +62,13 @@ _DEFAULT_AXIS: str = LIMB_AXIS
 
 def set_default_limb_mesh(mesh: Mesh | None, axis: str = LIMB_AXIS) -> None:
     """Register (or clear, with ``None``) the mesh the clmul dispatcher uses
-    for automatic limb-sharding of large unbalanced products."""
+    for automatic limb-sharding of large unbalanced products.
+
+    TRACE-TIME knob: the dispatcher consults the registry while a circuit
+    is being traced, so functions already jit-compiled keep whatever
+    routing they were traced with - register the mesh before the first
+    call of the circuits you want routed (same semantics as the
+    HOMOMORPH_TPU_CARRY_SCAN snapshot in models/circuits.py)."""
     global _DEFAULT_MESH, _DEFAULT_AXIS
     if mesh is not None and axis not in mesh.shape:
         raise ValueError(f"mesh has no axis {axis!r}; axes: {tuple(mesh.shape)}")
@@ -85,6 +91,22 @@ def use_limb_mesh(mesh: Mesh | None, axis: str = LIMB_AXIS):
         set_default_limb_mesh(*prev)
 
 
+@contextmanager
+def suppress_sharded_clmul():
+    """Keep :func:`maybe_sharded_clmul` inert for the enclosed trace.
+
+    Used by code that is ALREADY inside a manual-sharding region (the
+    ``shard_map`` bodies of :mod:`homomorph_tpu.parallel.bulk` and this
+    module's own local block): nesting a second ``shard_map`` over a
+    different mesh inside one fails at trace time."""
+    prev = getattr(_tls, "inside", False)
+    _tls.inside = True
+    try:
+        yield
+    finally:
+        _tls.inside = prev
+
+
 def comm_bytes_per_call(batch: int, small_limbs: int, n_shards: int) -> int:
     """ICI bytes moved by one :func:`sharded_clmul`: each of the
     ``n_shards - 1`` boundary hops carries the ``Lb``-limb spill for the
@@ -96,11 +118,8 @@ def _local_block(a_blk: jax.Array, b: jax.Array, n_shards: int, axis: str):
     """Per-shard body: local product + one-hop boundary spill exchange."""
     K = a_blk.shape[-1]
     Lb = b.shape[-1]
-    _tls.inside = True  # keep the inner clmul off the sharded path
-    try:
+    with suppress_sharded_clmul():  # keep the inner clmul off this path
         prod = gf2k.clmul(a_blk, b)  # [..., K + Lb]
-    finally:
-        _tls.inside = False
     head, spill = prod[..., :K], prod[..., K:]
     # send my spill one shard to the right; shard 0 receives zeros
     perm = [(i, i + 1) for i in range(n_shards - 1)]

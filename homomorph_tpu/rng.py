@@ -107,16 +107,24 @@ class OsRandomSource(RandomSource):
 def os_entropy_key():
     """A ``jax.random`` key seeded with full-entropy OS randomness.
 
-    The jax threefry-2x32 key space is 64 bits; this fills ALL of it from
-    ``os.urandom`` (the reference's production entropy source,
-    src/cipher.rs:95), instead of collapsing it to a smaller Python-seed
-    space.  Used by :class:`~homomorph_tpu.context.Context` to key each
-    device-side encryption stream.
+    Fills the ENTIRE key space of whatever PRNG implementation jax is
+    configured with (threefry: 64 bits; rbg: 128 bits - the key-data
+    shape is probed, not hardcoded) from ``os.urandom`` (the reference's
+    production entropy source, src/cipher.rs:95), instead of collapsing
+    it to a smaller Python-seed space.  Used by
+    :class:`~homomorph_tpu.context.Context` to key each device-side
+    encryption stream.
     """
     import jax
     import jax.numpy as jnp
 
-    words = np.frombuffer(os.urandom(8), dtype=np.uint32).copy()
+    key_shape = jax.random.key_data(jax.random.key(0)).shape
+    n_words = int(np.prod(key_shape)) if key_shape else 1
+    words = (
+        np.frombuffer(os.urandom(4 * n_words), dtype=np.uint32)
+        .reshape(key_shape)
+        .copy()
+    )
     return jax.random.wrap_key_data(jnp.asarray(words))
 
 

@@ -70,3 +70,27 @@ class TestEndToEnd:
         fs = [float(v) for v in rng.normal(size=8).astype(np.float32)]
         cf = ctx.encrypt(fs, hm.F32, batch=True)
         assert [float(v) for v in ctx.decrypt(cf)] == fs
+
+
+class TestReviewRegressions:
+    def test_opposite_signedness_ndarray_rejected(self):
+        """np.asarray(ndarray, dtype=) is a silent C-cast; the range check
+        must run on the input's own dtype (review finding r2)."""
+        with pytest.raises(hm.SerializeError):
+            codec.I64.encode_batch(np.array([2**64 - 1], dtype=np.uint64))
+        with pytest.raises(hm.SerializeError):
+            codec.U64.encode_batch(np.array([-1], dtype=np.int64))
+        # in-range opposite-dtype values still take the fast path correctly
+        got = codec.I64.encode_batch(np.array([5, 7], dtype=np.uint64))
+        assert got == codec.I64.encode(5) + codec.I64.encode(7)
+
+    def test_empty_batch_raises_typed_error(self):
+        ctx = hm.Context(
+            hm.Parameters(64, 32, 8, 32), source=hm.ThreefrySource(9)
+        )
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+        with pytest.raises(hm.SerializeError, match="empty batch"):
+            ctx.encrypt([], hm.vec_of(hm.U8), batch=True)
+        with pytest.raises(hm.SerializeError, match="empty batch"):
+            ctx.encrypt([], hm.U8, batch=True)

@@ -208,3 +208,23 @@ class TestZeroizeDeviceCaches:
         assert not sk._mask_cache and not sk._rows_cache
         with pytest.raises(hm.SecretKeyUnsetError):
             sk.decrypt_mask(c.num_limbs)
+
+
+class TestOsEntropyKey:
+    def test_fills_configured_impl_key_space(self):
+        """os_entropy_key probes the configured PRNG impl's key-data shape
+        instead of hardcoding threefry's 2 words (review finding)."""
+        import jax
+        import jax.numpy as jnp
+
+        from homomorph_tpu.rng import os_entropy_key
+
+        k1, k2 = os_entropy_key(), os_entropy_key()
+        assert jax.random.key_data(k1).shape == jax.random.key_data(
+            jax.random.key(0)
+        ).shape
+        assert not np.array_equal(
+            np.asarray(jax.random.key_data(k1)), np.asarray(jax.random.key_data(k2))
+        )
+        # usable as a normal key
+        assert jax.random.bits(k1, (4,), dtype=jnp.uint32).shape == (4,)

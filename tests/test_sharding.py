@@ -170,3 +170,41 @@ class TestShardedContext:
         ctx.generate_public_key()
         c = ctx.encrypt(99, hm.U8)  # batch=False -> plain single-device path
         assert int(ctx.decrypt(c)) == 99
+
+
+class TestReviewRegressions:
+    def test_source_plus_sharding_rejected(self):
+        cfg = make_mesh(2, 1, devices=jax.devices()[:2])
+        with pytest.raises(ValueError, match="incompatible"):
+            hm.Context(
+                hm.Parameters(64, 16, 1, 16),
+                source=hm.ThreefrySource(1),
+                sharding=cfg,
+            )
+
+    @needs_8
+    def test_bulk_decrypt_composes_with_limb_mesh(self, monkeypatch):
+        """The limb-mesh clmul dispatcher must stay inert inside the bulk
+        pipeline's shard_map bodies (nested shard_map over a different
+        mesh fails at trace time) - review finding."""
+        from jax.sharding import Mesh
+        from homomorph_tpu.gf2 import poly as gf2
+        from homomorph_tpu.parallel import limbmul
+
+        monkeypatch.setattr(limbmul, "_SHARD_MIN_BLOCK", 1)
+        cfg = make_mesh(2, 1, devices=jax.devices()[:2])
+        lmesh = Mesh(np.array(jax.devices()[2:6]), (limbmul.LIMB_AXIS,))
+        ctx = hm.Context(hm.Parameters(64, 16, 1, 16), encrypt_seed=3)
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+        pk, sk = ctx.get_public_key(), ctx.get_secret_key()
+        L = gf2.limbs_for(ctx.parameters.pk_degree)
+        rng = np.random.default_rng(0)
+        bits = jnp.asarray(rng.integers(0, 2, size=(4, 8)).astype(np.uint32))
+        sel = jnp.asarray(
+            rng.integers(0, 2, size=(4, 8, ctx.parameters.tau)).astype(np.uint8)
+        )
+        with limbmul.use_limb_mesh(lmesh):
+            ct = bulk.sharded_encrypt_bits(cfg, sel, pk.bit_planes(), bits, L)
+            out = bulk.sharded_decrypt_bits(cfg, ct, sk.decrypt_mask(L))
+        assert (np.asarray(out) == np.asarray(bits)).all()
