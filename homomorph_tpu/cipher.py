@@ -41,6 +41,7 @@ from .gf2 import poly as gf2
 from .keys import PublicKey, SecretKey
 from .utils.errors import (
     DecodeTooLargeError,
+    DeserializeError,
     InvalidCipheredLengthError,
     SerializeError,
 )
@@ -288,6 +289,11 @@ class Ciphered:
                     f"batch of {len(values)} values not divisible by the "
                     f"mesh data axis ({n_data})"
                 )
+            n_tau = sharding.mesh.shape[sharding.tau_axis]
+            if tau % n_tau:
+                raise ValueError(
+                    f"tau={tau} not divisible by the mesh tau axis ({n_tau})"
+                )
             from .parallel import bulk
 
             sel = _random_selection(key, shape, tau)
@@ -461,12 +467,33 @@ class Ciphered:
 
     @classmethod
     def from_bytes(cls, data: bytes, desc: _codec.TypeDescriptor) -> "Ciphered":
+        """Deserialize; the buffer is untrusted input, so the header is
+        fully validated (sizes, rank, width-vs-desc) before any reshape."""
+        if len(data) < 16 or len(data) % 4:
+            raise DeserializeError(
+                f"ciphertext buffer too short or misaligned ({len(data)} bytes)"
+            )
         head = np.frombuffer(data[:16], dtype="<u4")
         n_bits, L, bound, rank = (int(x) for x in head)
+        if n_bits == 0 or L == 0 or rank > 8:
+            raise DeserializeError(
+                f"corrupt ciphertext header: n_bits={n_bits}, L={L}, rank={rank}"
+            )
+        if len(data) < 16 + 4 * rank:
+            raise DeserializeError("ciphertext buffer truncated in batch dims")
         bshape = tuple(
             int(x) for x in np.frombuffer(data[16 : 16 + 4 * rank], dtype="<u4")
         )
         body = np.frombuffer(data[16 + 4 * rank :], dtype="<u4").astype(np.uint32)
+        expect = int(np.prod(bshape, dtype=np.int64)) * n_bits * L if rank else n_bits * L
+        if body.size != expect:
+            raise DeserializeError(
+                f"ciphertext body has {body.size} limbs, header implies {expect}"
+            )
+        if desc.is_fixed_size and desc.num_bits != n_bits:
+            raise DeserializeError(
+                f"{desc!r} expects {desc.num_bits} bit lanes, buffer has {n_bits}"
+            )
         limbs = jnp.asarray(body.reshape(*bshape, n_bits, L))
         return cls(limbs, bound, desc)
 

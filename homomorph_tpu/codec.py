@@ -53,6 +53,7 @@ reference's unbalanced_struct example demonstrates):
 from __future__ import annotations
 
 import dataclasses
+import operator as _operator
 import struct as _struct
 from typing import Any, Callable, Sequence
 
@@ -175,7 +176,10 @@ class IntDescriptor(TypeDescriptor):
 
     def encode(self, value: Any) -> bytes:
         try:
-            v = int(value)
+            # operator.index, not int(): int(1.5) silently truncates, which
+            # would encrypt a corrupted plaintext; index() accepts exactly
+            # the integral types (int, bool, numpy ints) and rejects floats
+            v = _operator.index(value)
             return v.to_bytes(self.num_bytes, "little", signed=self.signed)
         except (OverflowError, TypeError, ValueError) as e:
             raise SerializeError(f"cannot encode {value!r} as {self.name}: {e}") from e
@@ -226,6 +230,10 @@ class BoolDescriptor(TypeDescriptor):
     num_bytes = 1
 
     def encode(self, value: Any) -> bytes:
+        # strict: Python truthiness would silently encode containers /
+        # floats (bool([False]) is True); accept only bool-like integrals
+        if not isinstance(value, (bool, np.bool_, int, np.integer)):
+            raise SerializeError(f"cannot encode {value!r} as bool")
         return b"\x01" if value else b"\x00"
 
     def _decode_fixed(self, data: bytes) -> bool:
@@ -234,6 +242,12 @@ class BoolDescriptor(TypeDescriptor):
         return data == b"\x01"
 
     def encode_batch(self, values: Sequence[Any]) -> bytes:
+        try:
+            raw = np.asarray(values)
+        except (TypeError, ValueError):
+            return super().encode_batch(values)
+        if raw.ndim != 1:
+            return super().encode_batch(values)  # per-value errors
         return np.asarray([bool(v) for v in values], dtype=np.uint8).tobytes()
 
     def decode_batch(self, rows: "np.ndarray") -> list:
@@ -264,6 +278,8 @@ class FloatDescriptor(TypeDescriptor):
             arr = np.asarray(values, dtype=np.float32 if self.bits == 32 else np.float64)
         except (TypeError, ValueError):
             return super().encode_batch(values)
+        if arr.ndim != 1 or arr.size == 0:
+            return super().encode_batch(values)  # per-value errors
         return arr.astype(f"<f{self.num_bytes}").tobytes()
 
     def decode_batch(self, rows: "np.ndarray") -> list:
@@ -409,10 +425,16 @@ class VecDescriptor(TypeDescriptor):
 
     def decode_from(self, data: bytes, offset: int) -> tuple[list, int]:
         n, offset = _read_len_prefix(self.name, data, offset)
-        # each element occupies >= 1 byte (>= num_bytes when fixed), so the
         # claimed allocation is bounded below by n * min_element_size
-        min_elem = self.element.num_bytes or 1
-        _guard_alloc(self.name, n * min_elem, data, offset)
+        # (varlen elements occupy >= 1 byte); zero-size elements (e.g.
+        # [u8; 0]) consume no buffer, so cap the element COUNT instead -
+        # otherwise a huge prefix would either wrongly fail the buffer
+        # check or spin the decode loop unboundedly
+        min_elem = self.element.num_bytes if self.element.num_bytes is not None else 1
+        if min_elem > 0:
+            _guard_alloc(self.name, n * min_elem, data, offset)
+        elif n > MAX_DECODE_BYTES:
+            raise DecodeTooLargeError(n, MAX_DECODE_BYTES)
         out = []
         for _ in range(n):
             v, offset = self.element.decode_from(data, offset)
@@ -603,7 +625,7 @@ def descriptor_for(value: Any) -> TypeDescriptor:
         return Bool
     if isinstance(value, str):
         return Str
-    if isinstance(value, np.generic):
+    if isinstance(value, np.generic) and value.dtype in _NUMPY_MAP:
         return _NUMPY_MAP[value.dtype]
     raise TypeError(
         f"cannot infer a wire type for {type(value).__name__}; pass an explicit "

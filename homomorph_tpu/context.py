@@ -108,6 +108,12 @@ d/delta >= 64, got d=32, delta=2
             jax.random.key(encrypt_seed) if encrypt_seed is not None else None
         )
         self._use_source_for_encrypt = source is not None
+        if source is not None and encrypt_seed is not None:
+            raise ValueError(
+                "source= and encrypt_seed= are mutually exclusive: with a "
+                "source, encryption replays the host byte stream and the "
+                "seeded device key chain would be silently unused"
+            )
         if sharding is not None and source is not None:
             raise ValueError(
                 "sharding= is incompatible with source=: the host byte-"

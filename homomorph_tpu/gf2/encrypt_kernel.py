@@ -175,7 +175,9 @@ def _encrypt_fused(selw, pk_bits, plain, tau: int, L: int, v2: bool = True):
     )(selw, pk_bits, plain)
 
 
-_USE_PALLAS_ENC = os.environ.get("HOMOMORPH_TPU_ENC_IMPL", "xla") == "pallas"
+# "xla" (default) | "pallas" (v2 full-lane kernel) | "pallas_v1" (baseline)
+_ENC_IMPL = os.environ.get("HOMOMORPH_TPU_ENC_IMPL", "xla")
+_USE_PALLAS_ENC = _ENC_IMPL in ("pallas", "pallas_v1")
 
 
 def encrypt_bits_fused(
@@ -203,7 +205,14 @@ def encrypt_bits_fused(
         and B % 128 == 0
         and B > 0
     ):
-        return _encrypt_fused(selw, pk_bits, plain[:, None].astype(U32), tau, L)
+        return _encrypt_fused(
+            selw,
+            pk_bits,
+            plain[:, None].astype(U32),
+            tau,
+            L,
+            v2=(_ENC_IMPL != "pallas_v1"),
+        )
     from ..cipher import _encrypt_core
 
     sel = gf2.unpack_bits(selw, tau, dtype=jnp.bfloat16)

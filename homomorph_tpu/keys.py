@@ -169,6 +169,8 @@ class SecretKey:
     def __eq__(self, other: object) -> bool:
         if not isinstance(other, SecretKey):
             return NotImplemented
+        if self._host is None or other._host is None:
+            return False  # a zeroized key equals nothing (incl. itself)
         # Trimmed-to-degree comparison (reference: src/polynomial.rs:417-426).
         return self._degree == other._degree and _trim_eq(
             self._host, other._host, self._degree

@@ -435,10 +435,7 @@ def eq(a: Ciphered, b: Ciphered) -> Ciphered:
             prod = jnp.concatenate([prod, odd], axis=-2)
         cur = prod
         n = cur.shape[-2]
-    res = cur
-    zeros = jnp.zeros(res.shape[:-2] + (7, res.shape[-1]), dtype=res.dtype)
-    limbs = jnp.concatenate([res, zeros], axis=-2)
-    return Ciphered(limbs, bound, _codec.Bool)
+    return _bool_out(CipheredBit(cur[..., 0, :], bound))
 
 
 # --------------------------------------------------------------------------

@@ -120,3 +120,38 @@ class TestCiphertextSerialization:
         c = ctx.encrypt([1, 2, 3], hm.U16, batch=True)
         c2 = hm.Ciphered.from_bytes(c.to_bytes(), hm.U16)
         assert list(ctx.decrypt(c2)) == [1, 2, 3]
+
+
+class TestCiphertextHeaderValidation:
+    """Ciphered.from_bytes treats the buffer as untrusted (review finding)."""
+
+    def test_truncated_and_corrupt_headers(self):
+        import homomorph_tpu as hm
+
+        for bad in (b"", b"\x00" * 7, b"\x00" * 15):
+            with pytest.raises(hm.DeserializeError):
+                hm.Ciphered.from_bytes(bad, hm.U8)
+        zero_dims = (0).to_bytes(4, "little") * 4
+        with pytest.raises(hm.DeserializeError, match="corrupt"):
+            hm.Ciphered.from_bytes(zero_dims, hm.U8)
+
+    def test_body_size_mismatch(self):
+        import numpy as np
+
+        import homomorph_tpu as hm
+
+        head = np.array([8, 3, 96, 0], dtype="<u4").tobytes()
+        with pytest.raises(hm.DeserializeError, match="implies"):
+            hm.Ciphered.from_bytes(head + b"\x00" * 20, hm.U8)
+
+    def test_desc_width_mismatch(self):
+        import numpy as np
+
+        import homomorph_tpu as hm
+
+        head = np.array([8, 1, 0, 0], dtype="<u4").tobytes()
+        body = b"\x00" * (8 * 1 * 4)
+        ok = hm.Ciphered.from_bytes(head + body, hm.U8)
+        assert len(ok) == 8
+        with pytest.raises(hm.DeserializeError, match="bit lanes"):
+            hm.Ciphered.from_bytes(head + body, hm.U16)

@@ -94,3 +94,31 @@ class TestReviewRegressions:
             ctx.encrypt([], hm.vec_of(hm.U8), batch=True)
         with pytest.raises(hm.SerializeError, match="empty batch"):
             ctx.encrypt([], hm.U8, batch=True)
+
+    def test_float_to_int_descriptor_rejected(self):
+        """int(1.5) silently truncates; encode must reject non-integral
+        plaintexts (review finding)."""
+        with pytest.raises(hm.SerializeError):
+            codec.U8.encode(1.5)
+        with pytest.raises(hm.SerializeError):
+            codec.U8.encode_batch([1.5, 2.7])
+        assert codec.U8.encode(np.uint8(5)) == b"\x05"  # numpy ints fine
+        assert codec.U8.encode(True) == b"\x01"
+
+    def test_nested_float_batch_rejected(self):
+        with pytest.raises(hm.SerializeError):
+            codec.F32.encode_batch([[1.0], [2.0]])
+        with pytest.raises(hm.SerializeError):
+            codec.Bool.encode_batch([[True]])
+
+    def test_vec_of_zero_size_elements_roundtrips(self):
+        d = hm.vec_of(codec.BytesDescriptor(0))
+        enc = d.encode([b""] * 3)
+        assert d.decode(enc) == [b"", b"", b""]
+        # unbounded element count still capped
+        with pytest.raises(hm.DecodeTooLargeError):
+            d.decode((1 << 40).to_bytes(8, "little"))
+
+    def test_descriptor_for_unsupported_numpy_dtype(self):
+        with pytest.raises(TypeError, match="TypeDescriptor"):
+            hm.descriptor_for(np.float16(1.0))

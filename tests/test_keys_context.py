@@ -228,3 +228,20 @@ class TestOsEntropyKey:
         )
         # usable as a normal key
         assert jax.random.bits(k1, (4,), dtype=jnp.uint32).shape == (4,)
+
+
+class TestConstructorGuards:
+    def test_source_plus_encrypt_seed_rejected(self):
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            hm.Context(
+                hm.Parameters(64, 32, 8, 32),
+                source=hm.ThreefrySource(1),
+                encrypt_seed=2,
+            )
+
+    def test_zeroized_key_compares_unequal_not_crash(self):
+        sk = hm.SecretKey.from_bytes(bytes([5, 14, 8]))
+        sk2 = hm.SecretKey.from_bytes(bytes([5, 14, 8]))
+        assert sk == sk2
+        sk.zeroize()
+        assert sk != sk2 and sk2 != sk and sk != sk
