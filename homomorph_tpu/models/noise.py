@@ -1,0 +1,119 @@
+"""Exact worst-case noise-degree bounds for the shipped circuits.
+
+Decryption of ``C = S*q + e`` computes ``(C mod S)(0) = (e mod S)(0)``;
+it equals the plaintext unconditionally iff ``deg e < d``.  Beyond that
+envelope the result is ``a(0)*S(0) ^ e'(0)`` (with ``e = a*S ^ e'``), so
+correctness degenerates to a property of the KEY: keys with ``S(0) = 0``
+(half the keyspace) decrypt ANY circuit correctly, keys with ``S(0) = 1``
+return garbage - verified empirically in tests/test_noise_bounds.py
+(3/3 keys with S(0)=0 decrypt a beyond-envelope u8 product, 0/3 with
+S(0)=1).  A correctness guarantee must therefore hold for EVERY key,
+i.e. enforce ``deg e < d``.
+
+Noise composes through the SAME polynomial circuit as the ciphertexts
+(XOR -> polynomial add, AND -> carry-less mul), so the worst-case noise
+degree of a circuit follows from two exact rules on degrees:
+``deg(a*b) = deg a + deg b`` (GF(2) leading terms are 1, never cancel)
+and ``deg(a^b) <= max(deg a, deg b)`` (equality in the worst case).
+This module runs the circuits' own recurrences on integer degrees -
+a sound (no-cancellation) upper bound, computed in microseconds for any
+width.  Fresh-ciphertext noise ``X * sum_{i in U} R_i + x`` has degree
+at most ``delta + 1`` (keygen forces ``deg R_i = delta`` exactly).
+
+Consequence for the reference's published constants
+(src/impls/numbers.rs:27-50): ``MIN_D_OVER_DELTA = 21`` (addition) and
+``64`` (multiplication) are NOT sufficient - e.g. u8 multiplication at
+``d = 64*delta`` has worst-case noise degree ``~105*delta`` and fails on
+every ``S(0)=1`` key (measured).  The checked API here therefore
+validates width-aware exact bounds via ``requirement_for`` while keeping
+the reference's constants as the class-level defaults for parity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+__all__ = [
+    "fresh_noise_degree",
+    "add_noise_degree",
+    "mul_noise_degree",
+    "compare_noise_degree",
+    "eq_noise_degree",
+    "required_ratio",
+]
+
+
+def fresh_noise_degree(delta: int) -> int:
+    """Worst-case noise degree of a fresh ciphertext: ``delta + 1``."""
+    return delta + 1
+
+
+def add_noise_degree(n: int, delta: int, carry_in: bool = False) -> int:
+    """Ripple-carry adder (circuits.add / common.rs:37-64) on fresh inputs.
+
+    Mirrors the recurrence ``c' = g ^ m*c`` with ``m = x*(g^1)``:
+    deg x = deg g-factor inputs = D0, deg g = 2*D0, deg m = 3*D0,
+    deg c_{i+1} = max(2*D0, 3*D0 + deg c_i).
+    """
+    D0 = fresh_noise_degree(delta)
+    c = D0 if carry_in else None  # carry-in: a trivial one() has degree 0,
+    # but sub() feeds c0 = one (deg 0); model worst case as a fresh bit
+    out = D0
+    for i in range(n - 1):
+        if c is None:
+            c_next = 2 * D0
+        else:
+            c_next = max(2 * D0, 3 * D0 + c)
+        c = c_next
+        out = max(out, max(D0, c))
+    return out
+
+
+def mul_noise_degree(n: int, delta: int, signed: bool = False) -> int:
+    """Column multiplier (circuits.mul_unsigned / common.rs:66-113) on
+    fresh inputs: exact replay of ``_mul_accumulate``'s bookkeeping on
+    integer degrees (Baugh-Wooley sign flips don't change degrees)."""
+    D0 = fresh_noise_degree(delta)
+    pp = 2 * D0  # every partial product a_i * b_j
+    result = [0] * n  # degree 0 = the zero/constant lane
+    carries: list[int] = []
+    offset = 0
+    for i in range(n):
+        current_length = i * (i + 1) // 2
+        for _ in range(i + 1):
+            if i + 1 < n:
+                carries.append(pp + result[i])
+            result[i] = max(result[i], pp)
+        for j in range(current_length):
+            if i + 1 < n:
+                carries.append(result[i] + carries[offset + j])
+            result[i] = max(result[i], carries[offset + j])
+        offset += current_length
+    return max(result)
+
+
+def compare_noise_degree(n: int, delta: int) -> int:
+    """lt/gt/le/ge: the adder's carry chain run one step further
+    (circuits._adder_carry_out)."""
+    D0 = fresh_noise_degree(delta)
+    # full n-step chain with carry-in = one(): c0 deg 0
+    c = 0
+    for i in range(n):
+        c = max(2 * D0, 3 * D0 + c)
+    return c
+
+
+def eq_noise_degree(n: int, delta: int) -> int:
+    """Equality: XNOR lanes (affine) + AND tree = product of n lanes."""
+    return n * fresh_noise_degree(delta)
+
+
+def required_ratio(noise_at_delta1: int) -> int:
+    """Convert a noise bound into a sound ``d/delta`` requirement.
+
+    The checked API validates ``d >= r * delta``.  With
+    ``D(delta) = M*(delta+1) (+ c)`` and ``r = D(1) + 1``:
+    ``r*delta >= D(delta) + 1`` holds for every ``delta >= 1``
+    (delta=1 is the binding case), guaranteeing ``deg e < d``.
+    """
+    return noise_at_delta1 + 1

@@ -33,7 +33,7 @@ from __future__ import annotations
 from .. import codec as _codec
 from ..cipher import Ciphered
 from ..operations import HomomorphicOperation1, HomomorphicOperation2
-from . import circuits
+from . import circuits, noise as _noise
 
 __all__ = [
     "HomomorphicAndGate",
@@ -83,7 +83,18 @@ class HomomorphicNotGate(HomomorphicOperation1):
 
 
 class HomomorphicAddition(HomomorphicOperation2):
+    """Ripple-carry addition.  The class constant mirrors the reference's
+    published 21 (src/impls/numbers.rs:34-36); the checked API uses the
+    EXACT width-aware noise bound via :meth:`requirement_for` - the
+    published constant admits parameters where decryption fails on every
+    secret key with a non-zero constant term (models/noise.py)."""
+
     MIN_D_OVER_DELTA = 21
+
+    @classmethod
+    def requirement_for(cls, *operands: Ciphered) -> int:
+        n = max(len(c) for c in operands)
+        return _noise.required_ratio(_noise.add_noise_degree(n, 1))
 
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
@@ -91,9 +102,24 @@ class HomomorphicAddition(HomomorphicOperation2):
 
 
 class HomomorphicMultiplication(HomomorphicOperation2):
-    # Conservative default until precise bounds are fully documented
-    # (src/impls/numbers.rs:47-50).
+    """Column multiplication.  The class constant mirrors the reference's
+    "conservative default" 64 (src/impls/numbers.rs:47-50) - which is in
+    fact NOT conservative: the exact worst-case noise degree of the u8
+    circuit is 152*delta-ish (models/noise.py; measured >= 105 at
+    delta=1), and it grows EXPONENTIALLY with width (u16: 19,348; u32:
+    4.4e8) because the accumulation multiplies carries by running sums.
+    The checked API therefore validates the exact bound per width: u8
+    multiplication needs d/delta >= 153; u16+ multiplication is
+    unreachable inside the u16 parameter space and is only available via
+    ``unsafe_apply`` (where correctness additionally requires a secret
+    key with S(0) = 0 - see NOISE.md)."""
+
     MIN_D_OVER_DELTA = 64
+
+    @classmethod
+    def requirement_for(cls, *operands: Ciphered) -> int:
+        n = max(len(c) for c in operands)
+        return _noise.required_ratio(_noise.mul_noise_degree(n, 1))
 
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
@@ -118,6 +144,11 @@ class HomomorphicSubtraction(HomomorphicOperation2):
 
     MIN_D_OVER_DELTA = 21
 
+    @classmethod
+    def requirement_for(cls, *operands: Ciphered) -> int:
+        n = max(len(c) for c in operands)
+        return _noise.required_ratio(_noise.add_noise_degree(n, 1, carry_in=True))
+
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
         return circuits.sub(a, b)
@@ -132,6 +163,11 @@ class HomomorphicNegation(HomomorphicOperation1):
     """
 
     MIN_D_OVER_DELTA = 21
+
+    @classmethod
+    def requirement_for(cls, *operands: Ciphered) -> int:
+        n = max(len(c) for c in operands)
+        return _noise.required_ratio(_noise.add_noise_degree(n, 1, carry_in=True))
 
     @staticmethod
     def unsafe_apply(a: Ciphered) -> Ciphered:
@@ -148,6 +184,11 @@ class HomomorphicLessThan(HomomorphicOperation2):
 
     MIN_D_OVER_DELTA = 21
 
+    @classmethod
+    def requirement_for(cls, *operands: Ciphered) -> int:
+        n = max(len(c) for c in operands)
+        return _noise.required_ratio(_noise.compare_noise_degree(n, 1))
+
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
         return circuits.lt(a, b)
@@ -157,6 +198,11 @@ class HomomorphicGreaterThan(HomomorphicOperation2):
     """Unsigned ``a > b`` as ``Ciphered[Bool]`` (not in the reference)."""
 
     MIN_D_OVER_DELTA = 21
+
+    @classmethod
+    def requirement_for(cls, *operands: Ciphered) -> int:
+        n = max(len(c) for c in operands)
+        return _noise.required_ratio(_noise.compare_noise_degree(n, 1))
 
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
@@ -184,7 +230,8 @@ class HomomorphicEquality(HomomorphicOperation2):
 
     @classmethod
     def requirement_for(cls, *operands: Ciphered) -> int:
-        return 2 * max(len(c) for c in operands) + 1
+        n = max(len(c) for c in operands)
+        return _noise.required_ratio(_noise.eq_noise_degree(n, 1))  # = 2n+1
 
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:

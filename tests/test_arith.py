@@ -60,7 +60,8 @@ class TestAddition:
         assert ctx.decrypt(ctx.apply2(HomomorphicAddition, a, b)) == 42
 
     def test_random_u16(self, rng):
-        ctx = make_ctx(64, 16, 1, 16, seed=1)
+        # u16 add exact bound: d/delta >= 89 (models/noise.py)
+        ctx = make_ctx(128, 16, 1, 16, seed=1)
         x, y = int(rng.integers(0, 2**15)), int(rng.integers(0, 2**15))
         a, b = ctx.encrypt(x, hm.U16), ctx.encrypt(y, hm.U16)
         assert ctx.decrypt(ctx.apply2(HomomorphicAddition, a, b)) == x + y
@@ -105,12 +106,13 @@ class TestSuccessiveAddition:
 
 
 class TestMultiplication:
-    # uint.rs:254-293 semantics; run at (128,16,1,16) - same d/delta ratio
-    # class as the reference's (128,64,1,64) but cheaper polynomials, so the
-    # suite stays fast on CPU.  The reference-param config runs under -m slow.
+    # uint.rs:254-293 semantics.  d = 160: the EXACT u8-mul noise bound is
+    # 152*delta (models/noise.py), so the checked API requires
+    # d/delta >= 153 - the reference's own (128,*,1,*) configs are beyond
+    # the provable envelope (they decrypt only on S(0)=0 keys; NOISE.md).
     @pytest.fixture(scope="class")
     def ctx(self):
-        return make_ctx(128, 16, 1, 16, seed=6)
+        return make_ctx(160, 16, 1, 16, seed=6)
 
     def test_simple(self, ctx):
         a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(7, hm.U8)
@@ -158,10 +160,22 @@ class TestExtensive:
         assert ctx.decrypt(ctx.apply2(HomomorphicAddition, a, b)) == x + y
 
     def test_multiplication_reference_params(self, rng):
-        # the reference's exact mul config (128,64,1,64)
-        ctx = make_ctx(128, 64, 1, 64, seed=8)
+        """The reference's exact mul config (128,64,1,64; benches/u8.rs).
+
+        This config is BEYOND the provable noise envelope (u8 mul worst
+        noise degree 152 > d=128, models/noise.py), so the checked API now
+        rejects it; the reference's own crate runs it through its unsafe
+        apply and it decrypts only on S(0)=0 keys.  Mirror that: unchecked
+        path + a seed whose key has S(0)=0 (seed 2, verified)."""
+        from homomorph_tpu.models import circuits
+
+        ctx = make_ctx(128, 64, 1, 64, seed=2)
+        import numpy as np
+        assert int(np.asarray(ctx.get_secret_key().limbs)[0] & 1) == 0
         a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(7, hm.U8)
-        assert ctx.decrypt(ctx.apply2(HomomorphicMultiplication, a, b)) == 42
+        with pytest.raises(hm.InvalidParametersError):
+            ctx.apply2(HomomorphicMultiplication, a, b)  # sound bound: 153
+        assert ctx.decrypt(circuits.mul_unsigned(a, b)) == 42
 
 
 class TestExtensions:
@@ -347,34 +361,50 @@ class TestWideMultiplication:
     """Degree-growth stress (SURVEY §7 hard parts): multiplication beyond
     the reference's u8 bench width."""
 
-    def test_u16_mul(self):
-        import homomorph_tpu as hm
-        from homomorph_tpu.models import HomomorphicMultiplication
+    def _s0_zero_ctx(self, seed):
+        """Wide multiplication exceeds ANY practical d (u16 worst noise
+        degree: 19,348 at delta=1 - models/noise.py), so the checked API
+        rightly rejects it; beyond the envelope, decryption is correct
+        exactly on keys with S(0) = 0 (verified in test_noise_bounds.py).
+        These stress tests exercise the big circuit through the unchecked
+        path with pinned S(0)=0 keys (seeds 2/5, verified below)."""
+        import numpy as np
 
-        ctx = hm.Context(hm.Parameters(128, 16, 1, 16), encrypt_seed=51)
+        import homomorph_tpu as hm
+
+        ctx = hm.Context(hm.Parameters(128, 16, 1, 16), source=hm.ThreefrySource(seed))
         ctx.generate_secret_key()
         ctx.generate_public_key()
+        assert int(np.asarray(ctx.get_secret_key().limbs)[0] & 1) == 0
+        return ctx
+
+    def test_u16_mul(self):
+        import homomorph_tpu as hm
+        from homomorph_tpu.models import HomomorphicMultiplication, circuits
+
+        ctx = self._s0_zero_ctx(2)
         xs = [3, 257, 65535]
         ys = [5, 255, 3]
         a = ctx.encrypt(xs, hm.U16, batch=True)
         b = ctx.encrypt(ys, hm.U16, batch=True)
-        got = ctx.decrypt(ctx.apply2(HomomorphicMultiplication, a, b))
+        # the checked API rejects u16 mul at any practical parameters
+        with pytest.raises(hm.InvalidParametersError):
+            ctx.apply2(HomomorphicMultiplication, a, b)
+        got = ctx.decrypt(circuits.mul_unsigned(a, b))
         assert [int(v) for v in got] == [
             (x * y) & 0xFFFF for x, y in zip(xs, ys)
         ]
 
     def test_i16_mul_negative(self):
         import homomorph_tpu as hm
-        from homomorph_tpu.models import HomomorphicMultiplication
+        from homomorph_tpu.models import circuits
 
-        ctx = hm.Context(hm.Parameters(128, 16, 1, 16), encrypt_seed=52)
-        ctx.generate_secret_key()
-        ctx.generate_public_key()
+        ctx = self._s0_zero_ctx(5)
         xs = [-3, 300]
         ys = [5, -100]
         a = ctx.encrypt(xs, hm.I16, batch=True)
         b = ctx.encrypt(ys, hm.I16, batch=True)
-        got = ctx.decrypt(ctx.apply2(HomomorphicMultiplication, a, b))
+        got = ctx.decrypt(circuits.mul_signed(a, b))
         def wrap(v):
             v &= 0xFFFF
             return v - 0x10000 if v >= 0x8000 else v

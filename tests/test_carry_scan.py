@@ -52,12 +52,10 @@ class TestScanAdder:
 
     def test_u32_decrypts(self, monkeypatch):
         monkeypatch.setattr(circuits, "_CARRY_SCAN", True)
-        # the u32 worst case (0xFFFFFFFF + 1) ripples the carry through all
-        # 32 bits: boolean degree 2 + 3*30 = 92, so it needs d/delta >= 92
-        # (the checked MIN_D_OVER_DELTA = 21 is the reference's constant,
-        # calibrated for u8; the reference's own u32 long test uses d = 256,
-        # uint.rs:210-252)
-        ctx = make_ctx(128, 16, 1, 16, seed=23)
+        # u32 add exact noise bound: d/delta >= 185 (models/noise.py) -> the
+        # checked API needs d = 256 at delta=1 (the reference's own u32
+        # long test also uses d = 256, uint.rs:210-252)
+        ctx = make_ctx(256, 16, 1, 16, seed=23)
         xs = [0, 1, 0xFFFFFFFF, 123456789, 2**31]
         ys = [0, 1, 1, 987654321, 2**31]
         a = ctx.encrypt(xs, hm.U32, batch=True)
@@ -77,9 +75,11 @@ class TestScanAdder:
         manual = hm.Ciphered.new_from_raw(_ripple_carries(a, b), hm.U16)
         assert _trim_eq(np.asarray(ripple.limbs), np.asarray(manual.limbs))
 
-    def test_u16_sub_with_carry_in(self, ctx, monkeypatch):
-        # sub routes through add(carry_in=one): scan path with nonzero c_0
+    def test_u16_sub_with_carry_in(self, monkeypatch):
+        # sub routes through add(carry_in=one): scan path with nonzero c_0.
+        # u16 sub exact bound: d/delta >= 93 (models/noise.py).
         monkeypatch.setattr(circuits, "_CARRY_SCAN", True)
+        ctx = make_ctx(128, 16, 1, 16, seed=24)
         a = ctx.encrypt([5000, 3], hm.U16, batch=True)
         b = ctx.encrypt([4999, 7], hm.U16, batch=True)
         got = ctx.decrypt(ctx.apply2(HomomorphicSubtraction, a, b))

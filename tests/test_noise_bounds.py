@@ -1,0 +1,135 @@
+"""Noise-envelope soundness (models/noise.py; see NOISE.md).
+
+Decryption of ``C = S*q + e`` is correct for EVERY key iff ``deg e < d``.
+Beyond that envelope the error term is ``a(0)*S(0)`` - zero exactly when
+the secret key's constant term is zero, i.e. HALF the keyspace silently
+masks the overflow.  These tests pin:
+
+1. the symbolic worst-case bounds dominate empirical noise degrees
+   (measured by running the circuits directly on simulated noise
+   polynomials - noise composes through the SAME polynomial circuit);
+2. the S(0) dichotomy, empirically: beyond-envelope u8 products decrypt
+   correctly on S(0)=0 keys and give garbage on S(0)=1 keys;
+3. the checked API's width-aware requirements reflect the exact bounds
+   (the reference's published constants 21/64 admit half-broken params).
+"""
+
+import numpy as np
+import pytest
+
+import homomorph_tpu as hm
+from homomorph_tpu.cipher import Ciphered
+from homomorph_tpu.gf2 import poly as gf2
+from homomorph_tpu.models import circuits, noise
+from homomorph_tpu.models import (
+    HomomorphicAddition,
+    HomomorphicMultiplication,
+)
+
+import jax.numpy as jnp
+
+
+def noise_lanes(n, delta, rng, batch=6):
+    """Simulated fresh-ciphertext noise ``X*sum(R_i) + x``: random polys of
+    degree <= delta+1, mixed exact/lower degrees (the worst case for
+    cancellation avoidance)."""
+    L = gf2.limbs_for(delta + 1)
+    limbs = rng.integers(0, 1 << 32, size=(batch, n, L), dtype=np.uint64).astype(
+        np.uint32
+    )
+    top_limb, top_bit = (delta + 1) // 32, (delta + 1) % 32
+    mask = np.uint32((1 << top_bit) - 1) if top_bit else np.uint32(0xFFFFFFFF)
+    limbs[..., -1] &= mask
+    # force exact degree on a random half of the lanes (mixed degrees beat
+    # the systematic leading-term cancellation of all-equal degrees)
+    force = rng.random((batch, n)) < 0.5
+    limbs[..., top_limb] |= np.where(force, np.uint32(1 << top_bit), 0).astype(
+        np.uint32
+    )
+    return Ciphered(jnp.asarray(limbs), delta + 1, hm.BytesDescriptor(n // 8))
+
+
+class TestSymbolicBoundsDominate:
+    @pytest.mark.parametrize("delta", [1, 4])
+    def test_add_u8(self, rng, delta):
+        bound = noise.add_noise_degree(8, delta)
+        for _ in range(3):
+            s = circuits.add(noise_lanes(8, delta, rng), noise_lanes(8, delta, rng))
+            assert int(np.asarray(gf2.compute_degree(s.limbs)).max()) <= bound
+
+    def test_mul_u8(self, rng):
+        bound = noise.mul_noise_degree(8, 1)
+        for _ in range(2):
+            p = circuits.mul_unsigned(noise_lanes(8, 1, rng), noise_lanes(8, 1, rng))
+            got = int(np.asarray(gf2.compute_degree(p.limbs)).max())
+            assert got <= bound
+            assert got > 64  # ...and far beyond the reference's blanket 64
+
+    def test_compare_u8(self, rng):
+        bound = noise.compare_noise_degree(8, 1)
+        c = circuits.lt(noise_lanes(8, 1, rng), noise_lanes(8, 1, rng))
+        assert int(np.asarray(gf2.compute_degree(c.limbs)).max()) <= bound
+
+
+class TestS0Dichotomy:
+    """Beyond the envelope, correctness is decided by the key's constant
+    term - the mechanism behind the 'it sometimes works' behaviour of the
+    reference's own beyond-envelope configs."""
+
+    def _mul_correct(self, seed):
+        ctx = hm.Context(
+            hm.Parameters(64, 16, 1, 16), source=hm.ThreefrySource(seed)
+        )
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+        s0 = int(np.asarray(ctx.get_secret_key().limbs)[0] & 1)
+        xs, ys = [6, 13, 250, 99], [7, 11, 3, 201]
+        a = ctx.encrypt(xs, hm.U8, batch=True)
+        b = ctx.encrypt(ys, hm.U8, batch=True)
+        got = [int(v) for v in ctx.decrypt(circuits.mul_unsigned(a, b))]
+        return s0, got == [(x * y) & 0xFF for x, y in zip(xs, ys)]
+
+    def test_s0_zero_key_decrypts_beyond_envelope(self):
+        s0, correct = self._mul_correct(2)  # seed 2: S(0)=0 (verified)
+        assert s0 == 0 and correct
+
+    def test_s0_one_key_garbage_beyond_envelope(self):
+        s0, correct = self._mul_correct(0)  # seed 0: S(0)=1 (verified)
+        assert s0 == 1 and not correct
+
+
+class TestCheckedApiUsesExactBounds:
+    def test_requirement_table(self):
+        class Lanes:
+            def __init__(self, n):
+                self.n = n
+
+            def __len__(self):
+                return self.n
+
+        assert HomomorphicAddition.requirement_for(Lanes(8), Lanes(8)) == 41
+        assert HomomorphicAddition.requirement_for(Lanes(32), Lanes(32)) == 185
+        assert HomomorphicMultiplication.requirement_for(Lanes(8), Lanes(8)) == 153
+        # wide mul is beyond the u16 parameter space entirely
+        assert HomomorphicMultiplication.requirement_for(Lanes(16), Lanes(16)) > 19000
+
+    def test_reference_boundary_params_rejected(self):
+        """d = 64*delta passes the reference's published mul constant but
+        fails on every S(0)=1 key; the checked API now rejects it."""
+        ctx = hm.Context(
+            hm.Parameters(64, 16, 1, 16), source=hm.ThreefrySource(0)
+        )
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+        a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(7, hm.U8)
+        with pytest.raises(hm.InvalidParametersError):
+            ctx.apply2(HomomorphicMultiplication, a, b)
+
+    def test_sound_params_accepted_and_correct(self):
+        ctx = hm.Context(
+            hm.Parameters(160, 16, 1, 16), source=hm.ThreefrySource(0)
+        )
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+        a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(7, hm.U8)
+        assert ctx.decrypt(ctx.apply2(HomomorphicMultiplication, a, b)) == 42
