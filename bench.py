@@ -30,19 +30,47 @@ import numpy as np
 REFERENCE_BIT_ENC_PER_S = 32 / 76.0e-6  # README.md:71-73
 
 
-def _throughput(fn, n_steps: int, warmup: int = 2) -> float:
-    """Seconds per step with pipelined dispatch (enqueue all, block once)."""
+# Per-measurement spread records (criterion-style: repeated windows with
+# p50/p95/min reported - reference benches/u32.rs:52-56 measures in 10 s
+# windows with outlier analysis; here each metric repeats WINDOWS pipelined
+# windows and the headline value is the p50 so two consecutive runs agree
+# within the reported spread).
+_STATS: dict = {}
+WINDOWS = 3
+
+
+def _record(label, ts, steps):
+    if label:
+        _STATS[label] = {
+            "windows": len(ts),
+            "steps_per_window": steps,
+            "p50_s_per_step": round(float(np.median(ts)), 9),
+            "p95_s_per_step": round(float(np.quantile(ts, 0.95)), 9),
+            "min_s_per_step": round(float(np.min(ts)), 9),
+        }
+
+
+def _throughput(
+    fn, n_steps: int, warmup: int = 2, windows: int = WINDOWS, label: str | None = None
+) -> float:
+    """p50 seconds/step over ``windows`` pipelined windows (enqueue all,
+    block once per window - pipelines device work over the ~30 ms tunnel
+    RTT of this environment's per-dispatch host round-trip)."""
     import jax
 
     for _ in range(warmup):
         jax.block_until_ready(fn())
-    t0 = time.perf_counter()
-    outs = [fn() for _ in range(n_steps)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / n_steps
+    ts = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(n_steps)]
+        jax.block_until_ready(outs)
+        ts.append((time.perf_counter() - t0) / n_steps)
+    _record(label, ts, n_steps)
+    return float(np.median(ts))
 
 
-def _latency(fn, n_steps: int, warmup: int = 2) -> float:
+def _latency(fn, n_steps: int, warmup: int = 2, label: str | None = None) -> float:
     """Median synchronous wall time per call (includes host RTT)."""
     import jax
 
@@ -53,6 +81,7 @@ def _latency(fn, n_steps: int, warmup: int = 2) -> float:
         t0 = time.perf_counter()
         jax.block_until_ready(fn())
         times.append(time.perf_counter() - t0)
+    _record(label, times, 1)
     return float(np.median(times))
 
 
@@ -113,6 +142,24 @@ def main() -> None:
     log = (lambda *a: None) if args.json_only else (lambda *a: print(*a, file=sys.stderr))
     log(f"device: {dev}")
 
+    # ---- on-device correctness gate ---------------------------------------
+    # Every timing below runs kernels that the test suite only exercises in
+    # interpret mode; a real Mosaic miscompile was found by hand in round 2.
+    # No JSON is emitted unless the production kernels return correct bits
+    # ON THIS CHIP (golden vectors, nonzero-plaintext round-trips, u8
+    # add/lt/mul decrypted and compared - homomorph_tpu/verify.py).
+    import os as _os
+
+    if _os.environ.get("HOMOMORPH_TPU_SKIP_VERIFY", "0") == "1":
+        print(
+            "WARNING: HOMOMORPH_TPU_SKIP_VERIFY=1 - emitting UNVERIFIED numbers",
+            file=sys.stderr,
+        )
+    else:
+        from homomorph_tpu.verify import run_verification
+
+        run_verification(quick=args.quick, log=log)
+
     params = hm.Parameters(128, 128, 64, 128)
     ctx = hm.Context(params, source=hm.ThreefrySource(0))
     ctx.generate_secret_key()
@@ -136,7 +183,7 @@ def main() -> None:
 
     keys = list(jax.random.split(jax.random.key(1), n_steps + 4))
     it = iter(keys * 50)
-    t = _throughput(lambda: enc_step(next(it)), n_steps)
+    t = _throughput(lambda: enc_step(next(it)), n_steps, label="encrypt")
     bit_enc_per_s = B / t
     log(f"encrypt(fused): {B} bits in {t*1e3:.2f} ms -> {bit_enc_per_s:,.0f} bit-enc/s")
 
@@ -155,7 +202,7 @@ def main() -> None:
     def dec_step(c):
         return gf2.decipher_bits(c, w)
 
-    t_dec = _throughput(lambda: dec_step(ct), n_steps)
+    t_dec = _throughput(lambda: dec_step(ct), n_steps, label="decrypt")
     dec_per_s = B / t_dec
     log(f"decrypt: {dec_per_s:,.0f} bit-dec/s (batch)")
     dev_dec_per_s = _device_busy_throughput(dec_step, ct, B)
@@ -163,7 +210,7 @@ def main() -> None:
         log(f"decrypt device-busy: {dev_dec_per_s:,.0f} bit-dec/s on-silicon")
 
     ct32 = ct[:32]
-    t_lat = _latency(lambda: dec_step(ct32), n_steps)
+    t_lat = _latency(lambda: dec_step(ct32), n_steps, label="decrypt_u32_sync")
     log(f"decrypt u32 sync latency: {t_lat*1e6:.1f} us (incl. host RTT; ref: 12.5 us)")
 
     # ---- device-only decrypt latency (pipelined-delta method) -------------
@@ -215,7 +262,10 @@ def main() -> None:
         return circuits.add(a, b).limbs
 
     t_add = _throughput(
-        lambda: add_step(ca.limbs, cb.limbs), max(3, n_steps // 4), warmup=1
+        lambda: add_step(ca.limbs, cb.limbs),
+        max(8, n_steps // 2),
+        warmup=1,
+        label="add_u32",
     )
     add_per_s = n_add / t_add
     log(f"hom. add u32: {add_per_s:,.1f} adds/s batched (ref single: {1/950e-6:,.1f}/s)")
@@ -229,7 +279,7 @@ def main() -> None:
     def dec_big(c):
         return gf2.decipher_bits(c, w_big)
 
-    t_dab = _throughput(lambda: dec_big(sum_limbs), n_steps)
+    t_dab = _throughput(lambda: dec_big(sum_limbs), n_steps, label="decipher_after_add")
     dab_per_s = n_add / t_dab
     log(f"decipher-after-add u32: {dab_per_s:,.1f}/s batched (ref: {1/1.03e-3:,.1f}/s)")
 
@@ -252,7 +302,9 @@ def main() -> None:
             b = hm.Ciphered(b_limbs, mp.pk_degree, hm.U8)
             return circuits.mul_unsigned(a, b).limbs
 
-        t_mul = _throughput(lambda: mul_step(ma.limbs, mb.limbs), 2, warmup=1)
+        t_mul = _throughput(
+            lambda: mul_step(ma.limbs, mb.limbs), 6, warmup=1, label="mul_u8"
+        )
         mul_per_s = n_mul / t_mul
         log(f"hom. mul u8: {mul_per_s:,.2f} muls/s batched")
         prod_limbs = mul_step(ma.limbs, mb.limbs)
@@ -262,7 +314,9 @@ def main() -> None:
         def dec_mul(c):
             return gf2.decipher_bits(c, w_mul)
 
-        t_dm = _throughput(lambda: dec_mul(prod_limbs), 4)
+        t_dm = _throughput(
+            lambda: dec_mul(prod_limbs), 6, label="decipher_after_mul"
+        )
         log(f"decipher-after-mul u8: {n_mul/t_dm:,.1f}/s batched")
 
     extras = {
@@ -303,7 +357,7 @@ def main() -> None:
             selw = jax.random.bits(key, (sB, sW), dtype=jnp.uint32)
             return encrypt_bits_fused(selw, spk_bits, splain, sL)
 
-        t_s = _throughput(lambda: senc(next(it)), max(4, n_steps // 2))
+        t_s = _throughput(lambda: senc(next(it)), max(4, n_steps // 2), label="scaled_encrypt_1e5")
         s_enc_per_s = sB / t_s
         sw = ssk.decrypt_mask(sL)
         sct = senc(keys[0])
@@ -312,7 +366,7 @@ def main() -> None:
         def sdec(c):
             return gf2.decipher_bits(c, sw)
 
-        t_sd = _throughput(lambda: sdec(sct), max(4, n_steps // 2))
+        t_sd = _throughput(lambda: sdec(sct), max(4, n_steps // 2), label="scaled_decrypt_1e5")
         log(
             f"scaled d=dp=1024 tau=256: enc {s_enc_per_s:,.0f} bits/s, "
             f"dec {sB/t_sd:,.0f} bits/s (1e5-bit bulk, BASELINE config)"
@@ -330,20 +384,22 @@ def main() -> None:
             selw = jax.random.bits(key, (lB, sW), dtype=jnp.uint32)
             return encrypt_bits_fused(selw, spk_bits, lplain, sL)
 
-        t_l = _throughput(lambda: senc_large(next(it)), max(3, n_steps // 4))
+        t_l = _throughput(lambda: senc_large(next(it)), max(3, n_steps // 4), label="scaled_encrypt_2e20")
         lct = senc_large(keys[1])
 
         @jax.jit
         def sdec_large(c):
             return gf2.decipher_bits(c, sw)
 
-        t_ld = _throughput(lambda: sdec_large(lct), max(3, n_steps // 4))
+        t_ld = _throughput(lambda: sdec_large(lct), max(3, n_steps // 4), label="scaled_decrypt_2e20")
         log(
             f"scaled d=dp=1024 tau=256 @2^20: enc {lB/t_l:,.0f} bits/s, "
             f"dec {lB/t_ld:,.0f} bits/s"
         )
         extras["scaled_1024_encrypt_bits_per_s_2e20"] = round(lB / t_l, 1)
         extras["scaled_1024_decrypt_bits_per_s_2e20"] = round(lB / t_ld, 1)
+
+    extras["measurement_windows"] = _STATS
 
     result = {
         "metric": "bit_encryptions_per_s_per_chip",

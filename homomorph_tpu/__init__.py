@@ -78,6 +78,7 @@ from .operations import (  # noqa: F401
 from .params import Parameters  # noqa: F401
 from .rng import OsRandomSource, RandomSource, RecordedSource, ThreefrySource  # noqa: F401
 from .utils.cache import enable_compilation_cache  # noqa: F401
+from .verify import VerificationError, run_verification  # noqa: F401
 from .utils.errors import (  # noqa: F401
     CipherError,
     ContextCryptoError,
@@ -93,7 +94,7 @@ from .utils.errors import (  # noqa: F401
     SerializeError,
 )
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "Parameters",
@@ -110,6 +111,7 @@ __all__ = [
     "RandomSource",
     "OsRandomSource",
     "enable_compilation_cache",
+    "run_verification", "VerificationError",
     "RecordedSource",
     "ThreefrySource",
     # codec

@@ -216,16 +216,31 @@ class Ciphered:
     (LSB-first within each serialized byte, src/cipher.rs:180-185).
     ``desc``: the plaintext :class:`~homomorph_tpu.codec.TypeDescriptor`.
     ``bound``: static degree bound shared by all lanes.
+    ``zero_lanes``: number of IMPLICIT trailing trivial-zero lanes - lanes
+    that are known-zero plaintext with degree 0 and are therefore not
+    stored (the degree-trimmed storage discipline of
+    src/polynomial.rs:404-426 lifted to the lane axis).  Compare/eq
+    results carry 7 such lanes (a bincode bool is one byte, bit 0 =
+    value), so decipher-after-compare reads 1/8 the bytes.
     """
 
-    __slots__ = ("limbs", "bound", "desc")
+    __slots__ = ("limbs", "bound", "desc", "zero_lanes")
 
-    def __init__(self, limbs: jax.Array, bound: int, desc: _codec.TypeDescriptor):
+    def __init__(
+        self,
+        limbs: jax.Array,
+        bound: int,
+        desc: _codec.TypeDescriptor,
+        zero_lanes: int = 0,
+    ):
         if limbs.ndim < 2:
             raise ValueError("Ciphered limbs must be at least [n_bits, L]")
+        if zero_lanes < 0:
+            raise ValueError("zero_lanes must be non-negative")
         self.limbs = limbs
         self.bound = int(bound)
         self.desc = desc
+        self.zero_lanes = int(zero_lanes)
 
     # -- construction --------------------------------------------------------
 
@@ -393,6 +408,11 @@ class Ciphered:
             raise DecodeTooLargeError(n_bytes, MAX_DECODE_BYTES)
         bits = _decrypt_core(self.limbs, sk.decrypt_mask(self.num_limbs))
         host = np.asarray(jax.device_get(bits), dtype=np.uint8)
+        if self.zero_lanes:
+            host = np.concatenate(
+                [host, np.zeros(host.shape[:-1] + (self.zero_lanes,), np.uint8)],
+                axis=-1,
+            )
         flat = host.reshape(-1, n)
         data = np.packbits(flat, axis=-1, bitorder="little")
         values = self.desc.decode_batch(data)
@@ -407,7 +427,13 @@ class Ciphered:
     def decipher_bits(self, sk: SecretKey) -> np.ndarray:
         """Decrypt to raw plaintext bits [*batch, n_bits] without decoding."""
         bits = _decrypt_core(self.limbs, sk.decrypt_mask(self.num_limbs))
-        return np.asarray(jax.device_get(bits), dtype=np.uint8)
+        host = np.asarray(jax.device_get(bits), dtype=np.uint8)
+        if self.zero_lanes:
+            host = np.concatenate(
+                [host, np.zeros(host.shape[:-1] + (self.zero_lanes,), np.uint8)],
+                axis=-1,
+            )
+        return host
 
     # -- bit-lane surface (Deref<[CipheredBit]> analogue) --------------------
 
@@ -420,7 +446,7 @@ class Ciphered:
         return self.limbs.shape[-1]
 
     def __len__(self) -> int:
-        return self.limbs.shape[-2]
+        return self.limbs.shape[-2] + self.zero_lanes
 
     def __getitem__(self, i):
         """Bit-lane access: ``c[i]`` -> :class:`CipheredBit`, ``c[a:b]`` ->
@@ -428,7 +454,28 @@ class Ciphered:
         semantics, src/cipher.rs:253-259)."""
         if isinstance(i, slice):
             return [self[j] for j in range(*i.indices(len(self)))]
+        n_phys = self.limbs.shape[-2]
+        if i < 0:
+            i += len(self)
+        if i >= n_phys:
+            if i >= len(self):
+                raise IndexError(i)
+            return CipheredBit.zero(self.batch_shape)
         return CipheredBit(self.limbs[..., i, :], self.bound)
+
+    def densify(self) -> "Ciphered":
+        """Materialize the implicit trailing zero lanes as physical lanes
+        (no-op when ``zero_lanes == 0``).  Circuit entry points call this
+        so lane-tensor math always sees the full logical lane count."""
+        if not self.zero_lanes:
+            return self
+        z = jnp.zeros(
+            self.limbs.shape[:-2] + (self.zero_lanes, self.limbs.shape[-1]),
+            dtype=self.limbs.dtype,
+        )
+        return Ciphered(
+            jnp.concatenate([self.limbs, z], axis=-2), self.bound, self.desc
+        )
 
     def bits(self) -> list[CipheredBit]:
         return [self[i] for i in range(len(self))]
@@ -448,44 +495,77 @@ class Ciphered:
             raise ValueError(
                 f"{desc!r} needs {desc.num_bits} lanes, have {len(self)}"
             )
-        return Ciphered(self.limbs, self.bound, desc)
+        return Ciphered(self.limbs, self.bound, desc, zero_lanes=self.zero_lanes)
 
     # -- ciphertext serialization (gap in the reference; added here) ---------
 
+    #: Wire-format magic ("HMCT" LE) + current version.  The key byte
+    #: formats are fixed by reference parity (src/polynomial.rs:98-122);
+    #: the ciphertext serializer is this framework's own addition and is
+    #: versioned from day one so layout evolution is detectable
+    #: (format-evolution notes in DESIGN.md).
+    WIRE_MAGIC = 0x54434D48
+    WIRE_VERSION = 1
+
     def to_bytes(self) -> bytes:
-        """Serialize ciphertext: u32 header (n_bits, L, bound, batch rank +
-        dims) then LE limbs.  The reference has no ciphertext serializer
-        (noted gap - SURVEY §5.4); the polynomial byte format matches
-        src/polynomial.rs:98-105."""
+        """Serialize ciphertext: u32 header (magic, version, n_bits,
+        zero_lanes, L, bound, batch rank + dims) then LE limbs.  The
+        reference has no ciphertext serializer (noted gap - SURVEY §5.4);
+        the per-polynomial byte format matches src/polynomial.rs:98-105."""
         host = np.asarray(jax.device_get(self.limbs), dtype=np.uint32)
         bshape = self.batch_shape
         header = np.array(
-            [len(self), self.num_limbs, self.bound, len(bshape), *bshape],
+            [
+                self.WIRE_MAGIC,
+                self.WIRE_VERSION,
+                len(self),
+                self.zero_lanes,
+                self.num_limbs,
+                self.bound,
+                len(bshape),
+                *bshape,
+            ],
             dtype="<u4",
         )
         return header.tobytes() + host.astype("<u4").tobytes()
 
+    _WIRE_HEAD = 28  # 7 fixed u32 fields before the batch dims
+
     @classmethod
     def from_bytes(cls, data: bytes, desc: _codec.TypeDescriptor) -> "Ciphered":
         """Deserialize; the buffer is untrusted input, so the header is
-        fully validated (sizes, rank, width-vs-desc) before any reshape."""
-        if len(data) < 16 or len(data) % 4:
+        fully validated (magic, version, sizes, rank, width-vs-desc)
+        before any reshape."""
+        H = cls._WIRE_HEAD
+        if len(data) < H or len(data) % 4:
             raise DeserializeError(
                 f"ciphertext buffer too short or misaligned ({len(data)} bytes)"
             )
-        head = np.frombuffer(data[:16], dtype="<u4")
-        n_bits, L, bound, rank = (int(x) for x in head)
-        if n_bits == 0 or L == 0 or rank > 8:
+        head = np.frombuffer(data[:H], dtype="<u4")
+        magic, version, n_bits, zero_lanes, L, bound, rank = (int(x) for x in head)
+        if magic != cls.WIRE_MAGIC:
             raise DeserializeError(
-                f"corrupt ciphertext header: n_bits={n_bits}, L={L}, rank={rank}"
+                f"not a homomorph_tpu ciphertext (magic 0x{magic:08x}, "
+                f"expected 0x{cls.WIRE_MAGIC:08x})"
             )
-        if len(data) < 16 + 4 * rank:
+        if version != cls.WIRE_VERSION:
+            raise DeserializeError(
+                f"unsupported ciphertext wire version {version} "
+                f"(this build reads version {cls.WIRE_VERSION})"
+            )
+        if n_bits == 0 or L == 0 or rank > 8 or zero_lanes >= n_bits:
+            raise DeserializeError(
+                f"corrupt ciphertext header: n_bits={n_bits}, "
+                f"zero_lanes={zero_lanes}, L={L}, rank={rank}"
+            )
+        if len(data) < H + 4 * rank:
             raise DeserializeError("ciphertext buffer truncated in batch dims")
         bshape = tuple(
-            int(x) for x in np.frombuffer(data[16 : 16 + 4 * rank], dtype="<u4")
+            int(x) for x in np.frombuffer(data[H : H + 4 * rank], dtype="<u4")
         )
-        body = np.frombuffer(data[16 + 4 * rank :], dtype="<u4").astype(np.uint32)
-        expect = int(np.prod(bshape, dtype=np.int64)) * n_bits * L if rank else n_bits * L
+        body = np.frombuffer(data[H + 4 * rank :], dtype="<u4").astype(np.uint32)
+        n_phys = n_bits - zero_lanes
+        expect = int(np.prod(bshape, dtype=np.int64)) * n_phys * L if rank else n_phys * L
         if body.size != expect:
             raise DeserializeError(
                 f"ciphertext body has {body.size} limbs, header implies {expect}"
@@ -494,8 +574,8 @@ class Ciphered:
             raise DeserializeError(
                 f"{desc!r} expects {desc.num_bits} bit lanes, buffer has {n_bits}"
             )
-        limbs = jnp.asarray(body.reshape(*bshape, n_bits, L))
-        return cls(limbs, bound, desc)
+        limbs = jnp.asarray(body.reshape(*bshape, n_phys, L))
+        return cls(limbs, bound, desc, zero_lanes=zero_lanes)
 
     def __repr__(self) -> str:
         return (

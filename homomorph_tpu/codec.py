@@ -589,29 +589,79 @@ _NUMPY_MAP = {
 }
 
 
+def _resolve_annotation(ann: Any, where: str) -> TypeDescriptor:
+    """Recursively map a type annotation to a :class:`TypeDescriptor`.
+
+    Handles descriptors, nested dataclasses (recursive :func:`struct_of` -
+    the analogue of the reference's ``derive`` feature composing
+    ``Encode``/``Decode`` through struct fields, Cargo.toml:19-20),
+    ``bool``/``str``/``float``, numpy dtypes, and the ``list[T]`` /
+    ``Optional[T]`` typing generics.  Plain ``int`` is rejected with
+    guidance: Python ints have no fixed wire width.
+    """
+    import types as _types
+    import typing
+
+    if isinstance(ann, TypeDescriptor):
+        return ann
+    if dataclasses.is_dataclass(ann) and isinstance(ann, type):
+        return struct_of(ann)
+    if ann is bool:
+        return Bool
+    if ann is str:
+        return Str
+    if ann is float:
+        return F64  # Rust's default float literal type
+    if ann is int:
+        raise TypeError(
+            f"{where}: plain `int` has no fixed wire width - annotate with "
+            "a numpy dtype (np.uint32, ...) or a TypeDescriptor (U32, ...)"
+        )
+    origin = typing.get_origin(ann)
+    if origin is list:
+        (elem,) = typing.get_args(ann)
+        return VecDescriptor(_resolve_annotation(elem, where))
+    if origin is typing.Union or origin is getattr(_types, "UnionType", None):
+        args = [a for a in typing.get_args(ann) if a is not type(None)]
+        if len(args) == 1 and type(None) in typing.get_args(ann):
+            return OptionDescriptor(_resolve_annotation(args[0], where))
+        raise TypeError(f"{where}: only Optional[T] unions are encodable")
+    try:
+        return _NUMPY_MAP[np.dtype(ann)]
+    except Exception:
+        raise TypeError(
+            f"{where} needs an explicit TypeDescriptor "
+            f"(got annotation {ann!r})"
+        ) from None
+
+
 def struct_of(cls: type, **field_descs: TypeDescriptor) -> StructDescriptor:
     """Build a :class:`StructDescriptor` from a dataclass.
 
     Field order follows the dataclass declaration order.  Descriptors are
-    taken from ``field_descs`` overrides first, then from annotations that
-    are already ``TypeDescriptor`` instances, then numpy dtypes.
+    taken from ``field_descs`` overrides first, then inferred recursively
+    from the annotations (:func:`_resolve_annotation`): ``TypeDescriptor``
+    instances, nested dataclasses, ``bool``/``str``/``float``, numpy
+    dtypes, ``list[T]`` and ``Optional[T]``.
     """
     if not dataclasses.is_dataclass(cls):
         raise TypeError(f"{cls!r} is not a dataclass")
+    # Resolve postponed (string) annotations; fall back to raw f.type for
+    # annotations that are live objects (e.g. TypeDescriptor instances,
+    # which get_type_hints rejects as non-types).
+    try:
+        import typing
+
+        hints = typing.get_type_hints(cls)
+    except Exception:
+        hints = {}
     fields = []
     for f in dataclasses.fields(cls):
         if f.name in field_descs:
             d = field_descs[f.name]
-        elif isinstance(f.type, TypeDescriptor):
-            d = f.type
         else:
-            try:
-                d = _NUMPY_MAP[np.dtype(f.type)]
-            except Exception as e:
-                raise TypeError(
-                    f"field {f.name!r} of {cls.__name__} needs an explicit "
-                    f"TypeDescriptor (got annotation {f.type!r})"
-                ) from e
+            ann = hints.get(f.name, f.type)
+            d = _resolve_annotation(ann, f"field {f.name!r} of {cls.__name__}")
         fields.append((f.name, d))
     return StructDescriptor(fields, name=cls.__name__, constructor=cls)
 

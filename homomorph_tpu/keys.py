@@ -85,6 +85,17 @@ class SecretKey:
         self._host = host
         self._limbs = jnp.asarray(host)
         self._degree = int(_host_degree(host))
+        # Reject degenerate keys up front: a null or constant polynomial
+        # (degree 0) cannot reduce anything - the reference panics on
+        # division by a null polynomial (src/polynomial.rs:318-322) and a
+        # legitimate key has exact degree d >= 1 (Parameters enforces
+        # d >= 1; keygen forces the leading bit, src/polynomial.rs:89-90).
+        # Failing loudly here beats silently-garbage decryption.
+        if self._degree < 1:
+            raise ValueError(
+                "degenerate secret key: polynomial has degree 0 (null or "
+                "constant) - a valid key has exact degree d >= 1"
+            )
         # caches keyed by ciphertext limb count
         self._mask_cache: dict[int, jax.Array] = {}
         self._rows_cache: dict[int, jax.Array] = {}
@@ -201,8 +212,22 @@ class PublicKey:
     @classmethod
     def from_bytes(cls, bytes_list: list[bytes]) -> "PublicKey":
         """Rebuild from a list of per-polynomial byte strings
-        (reference: src/context.rs:239-245)."""
+        (reference: src/context.rs:239-245).  The buffers are untrusted:
+        an empty list, an empty row, or an all-zero row is rejected - a
+        legitimate ``T_i = S*Q_i + X*R_i`` has exact degree ``d + dp >= 2``
+        (leading terms of S and Q_i are forced to 1), never zero."""
+        if not bytes_list:
+            raise ValueError("public key must contain at least one polynomial")
+        for i, b in enumerate(bytes_list):
+            if len(b) == 0:
+                raise ValueError(f"public key row {i} is empty")
         rows = [gf2.limbs_from_bytes(b) for b in bytes_list]
+        for i, r in enumerate(rows):
+            if not r.any():
+                raise ValueError(
+                    f"public key row {i} is the null polynomial - a valid "
+                    "T_i has exact degree d + dp"
+                )
         L = max(r.size for r in rows)
         mat = np.zeros((len(rows), L), dtype=np.uint32)
         for i, r in enumerate(rows):

@@ -65,12 +65,14 @@ __all__ = [
 
 
 def gate_xor(a: Ciphered, b: Ciphered) -> Ciphered:
+    a, b = a.densify(), b.densify()
     return Ciphered(
         gf2.xor(a.limbs, b.limbs), max(a.bound, b.bound), a.desc
     )
 
 
 def gate_and(a: Ciphered, b: Ciphered) -> Ciphered:
+    a, b = a.densify(), b.densify()
     prod = gf2k.clmul(a.limbs, b.limbs)
     bound = a.bound + b.bound
     return Ciphered(
@@ -79,6 +81,7 @@ def gate_and(a: Ciphered, b: Ciphered) -> Ciphered:
 
 
 def gate_or(a: Ciphered, b: Ciphered) -> Ciphered:
+    a, b = a.densify(), b.densify()
     x = gf2.xor(a.limbs, b.limbs)
     m = gf2k.clmul(a.limbs, b.limbs)
     bound = a.bound + b.bound
@@ -90,6 +93,7 @@ def gate_or(a: Ciphered, b: Ciphered) -> Ciphered:
 
 
 def gate_not(a: Ciphered) -> Ciphered:
+    a = a.densify()
     return Ciphered(gf2.xor_const_bit(a.limbs, 1), a.bound, a.desc)
 
 
@@ -156,6 +160,7 @@ def add(a: Ciphered, b: Ciphered, carry_in: CipheredBit | None = None) -> Cipher
     default; the scan remains available for small-batch latency-bound
     regimes.
     """
+    a, b = a.densify(), b.densify()
     x_all = gate_xor(a, b)
     g_all = gate_and(a, b)
     # m = x * (g ^ 1), lane-parallel (batched over all bit positions)
@@ -334,40 +339,69 @@ def _adder_carry_out(a: Ciphered, b: Ciphered, carry: CipheredBit) -> CipheredBi
 
 
 def _bool_out(bit: CipheredBit) -> Ciphered:
-    """Wrap a single ciphered bit as ``Ciphered[Bool]`` (lanes 1..7 are
-    trivial zeros; a bincode bool is one byte, bit 0 = value)."""
-    res = bit.limbs[..., None, :]
-    zeros = jnp.zeros(res.shape[:-2] + (7, res.shape[-1]), dtype=res.dtype)
+    """Wrap a single ciphered bit as ``Ciphered[Bool]``.
+
+    Lanes 1..7 of a bincode bool byte are trivial zeros; they are kept
+    IMPLICIT (``zero_lanes=7``) so only lane 0 is stored - decipher-after-
+    compare reads 1/8 the bytes of a dense layout (the degree-trimmed
+    storage discipline of src/polynomial.rs:404-426, on the lane axis)."""
+    return Ciphered(bit.limbs[..., None, :], bit.bound, _codec.Bool, zero_lanes=7)
+
+
+def _is_signed(c: Ciphered) -> bool:
+    return isinstance(c.desc, _codec.IntDescriptor) and c.desc.signed
+
+
+def _map_to_unsigned_order(a: Ciphered, b: Ciphered) -> tuple[Ciphered, Ciphered]:
+    """Order-preserving map from two's-complement to unsigned comparisons.
+
+    Flipping the sign bit is the classic monotone bijection
+    ``x -> x ^ 2^(n-1)`` (two's-complement order becomes unsigned order);
+    homomorphically it is one XOR with the trivial one() on the top lane -
+    degree-free, so the comparison requirement is unchanged.  Dispatched
+    when EITHER operand descriptor is a signed integer (reference
+    semantics: src/impls/numbers/int.rs two's-complement ops)."""
+    if not (_is_signed(a) or _is_signed(b)):
+        return a, b
+    return _flip_top_bit(a), _flip_top_bit(b)
+
+
+def _flip_top_bit(c: Ciphered) -> Ciphered:
+    top = gf2.xor_const_bit(c.limbs[..., -1:, :], 1)
     return Ciphered(
-        jnp.concatenate([res, zeros], axis=-2), bit.bound, _codec.Bool
+        jnp.concatenate([c.limbs[..., :-1, :], top], axis=-2), c.bound, c.desc
     )
 
 
 def lt(a: Ciphered, b: Ciphered) -> Ciphered:
-    """Unsigned ``a < b`` as ``Ciphered[Bool]`` (extension).
+    """``a < b`` as ``Ciphered[Bool]`` (extension).
 
     Borrow-chain comparison: the carry out of the full-width
     ``a + ~b + 1`` is the NOT-borrow, so ``a < b = NOT carry_out``.
-    For signed operands flip both sign bits first (or compare
-    ``a - b < 0`` via the sum's top bit).
+    Signed (two's-complement) operands are dispatched on the descriptor:
+    both sign bits are flipped first (degree-free), then the unsigned
+    chain runs unchanged.
     """
+    a, b = _map_to_unsigned_order(a.densify(), b.densify())
     carry = _adder_carry_out(a, gate_not(b), CipheredBit.one(a.batch_shape))
     return _bool_out(carry.not_())
 
 
 def gt(a: Ciphered, b: Ciphered) -> Ciphered:
-    """Unsigned ``a > b`` as ``Ciphered[Bool]`` (extension)."""
+    """``a > b`` as ``Ciphered[Bool]`` (extension); signedness-dispatched."""
     return lt(b, a)
 
 
 def le(a: Ciphered, b: Ciphered) -> Ciphered:
-    """Unsigned ``a <= b``: NOT (b < a)."""
+    """``a <= b``: NOT (b < a); signedness-dispatched."""
+    a, b = _map_to_unsigned_order(a.densify(), b.densify())
     carry = _adder_carry_out(b, gate_not(a), CipheredBit.one(a.batch_shape))
     return _bool_out(carry)
 
 
 def ge(a: Ciphered, b: Ciphered) -> Ciphered:
-    """Unsigned ``a >= b``: NOT (a < b)."""
+    """``a >= b``: NOT (a < b); signedness-dispatched."""
+    a, b = _map_to_unsigned_order(a.densify(), b.densify())
     carry = _adder_carry_out(a, gate_not(b), CipheredBit.one(a.batch_shape))
     return _bool_out(carry)
 
@@ -379,6 +413,7 @@ def select(cond: CipheredBit, a: Ciphered, b: Ciphered) -> Ciphered:
     over all lanes.  ``cond`` is a single ciphered bit (e.g. lane 0 of an
     :func:`eq`/:func:`lt` result, or a ``CipheredBit`` trivial constant).
     """
+    a, b = a.densify(), b.densify()
     x = gf2.xor(a.limbs, b.limbs)
     prod = gf2k.clmul(cond.limbs[..., None, :], x)
     bound = max(b.bound, cond.bound + max(a.bound, b.bound))
@@ -396,6 +431,7 @@ def neg(a: Ciphered) -> Ciphered:
     ``out_i = x_i ^ c_i`` and ``c_{i+1} = x_i * c_i`` - one carry-less
     multiply per bit position and no ``g``/``m`` lanes at all.
     """
+    a = a.densify()
     x_limbs = gf2.xor_const_bit(a.limbs, 1)
     n = len(a)
     xs = [CipheredBit(x_limbs[..., i, :], a.bound) for i in range(n)]
@@ -420,6 +456,7 @@ def eq(a: Ciphered, b: Ciphered) -> Ciphered:
     regardless of shape.  Output lanes 1..7 are trivial zeros (a bincode
     bool is one byte, bit 0 = value).
     """
+    a, b = a.densify(), b.densify()
     xn = gf2.xor_const_bit(gf2.xor(a.limbs, b.limbs), 1)
     bound = max(a.bound, b.bound)
     cur = xn
@@ -485,6 +522,7 @@ def mul_unsigned_lanes(
 def _pp_tensor(a: Ciphered, b: Ciphered) -> list[list[CipheredBit]]:
     """All n*n partial products in ONE batched carry-less multiply
     (broadcast over the two lane axes), then sliced into lanes."""
+    a, b = a.densify(), b.densify()
     prod = gf2k.clmul(a.limbs[..., :, None, :], b.limbs[..., None, :, :])
     bound = a.bound + b.bound
     prod = gf2.fit_limbs(prod, gf2.bucket(gf2.limbs_for(bound)))

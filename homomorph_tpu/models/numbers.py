@@ -18,8 +18,9 @@ Extensions NOT in the reference (same trait machinery, see class docs):
 ``HomomorphicSubtraction`` (21), ``HomomorphicNegation`` (21),
 ``HomomorphicEquality`` (width-aware: requirement = 2*width+1 via
 ``requirement_for`` - the exact noise bound; all-widths class constant 257),
-``HomomorphicLessThan`` / ``HomomorphicGreaterThan`` (21, unsigned
-borrow-chain comparison); plus ``circuits.le``/``ge``/``select`` (mux).
+``HomomorphicLessThan`` / ``HomomorphicGreaterThan`` (21, borrow-chain
+comparison; signed descriptors dispatch to the sign-bit-flipped circuit);
+plus ``circuits.le``/``ge``/``select`` (mux).
 
 Where the reference binds these to each primitive type via macros
 (src/impls/numbers/uint.rs, int.rs), here a single implementation covers
@@ -175,11 +176,14 @@ class HomomorphicNegation(HomomorphicOperation1):
 
 
 class HomomorphicLessThan(HomomorphicOperation2):
-    """Unsigned ``a < b`` as ``Ciphered[Bool]`` (not in the reference).
+    """``a < b`` as ``Ciphered[Bool]`` (not in the reference).
 
     The adder's borrow chain run to the final carry - one more step of the
     same ``c' = g ^ m*c`` recurrence as :class:`HomomorphicAddition`, so it
-    shares that operation's published requirement.
+    shares that operation's published requirement.  Signed (two's-
+    complement) descriptors dispatch to the sign-bit-flipped circuit
+    (degree-free, so the requirement is unchanged) exactly as
+    multiplication dispatches on ``desc.signed``.
     """
 
     MIN_D_OVER_DELTA = 21
@@ -195,7 +199,8 @@ class HomomorphicLessThan(HomomorphicOperation2):
 
 
 class HomomorphicGreaterThan(HomomorphicOperation2):
-    """Unsigned ``a > b`` as ``Ciphered[Bool]`` (not in the reference)."""
+    """``a > b`` as ``Ciphered[Bool]`` (not in the reference);
+    signedness-dispatched like :class:`HomomorphicLessThan`."""
 
     MIN_D_OVER_DELTA = 21
 

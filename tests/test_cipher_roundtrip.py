@@ -125,31 +125,39 @@ class TestCiphertextSerialization:
 class TestCiphertextHeaderValidation:
     """Ciphered.from_bytes treats the buffer as untrusted (review finding)."""
 
+    @staticmethod
+    def _head(n_bits, zero_lanes, L, bound, rank):
+        import numpy as np
+
+        import homomorph_tpu as hm
+
+        return np.array(
+            [hm.Ciphered.WIRE_MAGIC, hm.Ciphered.WIRE_VERSION,
+             n_bits, zero_lanes, L, bound, rank],
+            dtype="<u4",
+        ).tobytes()
+
     def test_truncated_and_corrupt_headers(self):
         import homomorph_tpu as hm
 
-        for bad in (b"", b"\x00" * 7, b"\x00" * 15):
+        for bad in (b"", b"\x00" * 7, b"\x00" * 27):
             with pytest.raises(hm.DeserializeError):
                 hm.Ciphered.from_bytes(bad, hm.U8)
-        zero_dims = (0).to_bytes(4, "little") * 4
+        zero_dims = self._head(0, 0, 0, 0, 0)
         with pytest.raises(hm.DeserializeError, match="corrupt"):
             hm.Ciphered.from_bytes(zero_dims, hm.U8)
 
     def test_body_size_mismatch(self):
-        import numpy as np
-
         import homomorph_tpu as hm
 
-        head = np.array([8, 3, 96, 0], dtype="<u4").tobytes()
+        head = self._head(8, 0, 3, 96, 0)
         with pytest.raises(hm.DeserializeError, match="implies"):
             hm.Ciphered.from_bytes(head + b"\x00" * 20, hm.U8)
 
     def test_desc_width_mismatch(self):
-        import numpy as np
-
         import homomorph_tpu as hm
 
-        head = np.array([8, 1, 0, 0], dtype="<u4").tobytes()
+        head = self._head(8, 0, 1, 0, 0)
         body = b"\x00" * (8 * 1 * 4)
         ok = hm.Ciphered.from_bytes(head + body, hm.U8)
         assert len(ok) == 8
