@@ -85,10 +85,10 @@ def _latency(fn, n_steps: int, warmup: int = 2, label: str | None = None) -> flo
     return float(np.median(times))
 
 
-def _device_busy_throughput(step_fn, arg, n_bits: int, reps: int = 4):
-    """Bits/s from profiler-measured device-busy time of the jitted step
-    (sums the top-level jit_* trace event).  Returns None on any failure
-    (e.g. profiler unsupported on the backend)."""
+def _device_busy_throughput(step_fn, n_bits: int, reps: int = 4):
+    """Items/s from profiler-measured device-busy time of the jitted
+    no-arg thunk (sums the top-level jit_* trace event).  Returns None on
+    any failure (e.g. profiler unsupported on the backend)."""
     import glob
     import gzip
     import tempfile
@@ -97,10 +97,10 @@ def _device_busy_throughput(step_fn, arg, n_bits: int, reps: int = 4):
 
     try:
         with tempfile.TemporaryDirectory() as td:
-            jax.block_until_ready(step_fn(arg))
+            jax.block_until_ready(step_fn())
             with jax.profiler.trace(td):
                 for _ in range(reps):
-                    jax.block_until_ready(step_fn(arg))
+                    jax.block_until_ready(step_fn())
             total_us = 0.0
             for f in glob.glob(f"{td}/**/*.trace.json.gz", recursive=True):
                 with gzip.open(f) as fh:
@@ -189,7 +189,7 @@ def main() -> None:
 
     # device-busy throughput (profiler): excludes this environment's
     # per-dispatch tunnel overhead - the honest chip-side rate (see PERF.md)
-    dev_enc_per_s = _device_busy_throughput(enc_step, next(it), B)
+    dev_enc_per_s = _device_busy_throughput(lambda: enc_step(next(it)), B)
     if dev_enc_per_s:
         log(f"encrypt device-busy: {dev_enc_per_s:,.0f} bit-enc/s on-silicon")
 
@@ -205,7 +205,7 @@ def main() -> None:
     t_dec = _throughput(lambda: dec_step(ct), n_steps, label="decrypt")
     dec_per_s = B / t_dec
     log(f"decrypt: {dec_per_s:,.0f} bit-dec/s (batch)")
-    dev_dec_per_s = _device_busy_throughput(dec_step, ct, B)
+    dev_dec_per_s = _device_busy_throughput(lambda: dec_step(ct), B)
     if dev_dec_per_s:
         log(f"decrypt device-busy: {dev_dec_per_s:,.0f} bit-dec/s on-silicon")
 
@@ -269,6 +269,11 @@ def main() -> None:
     )
     add_per_s = n_add / t_add
     log(f"hom. add u32: {add_per_s:,.1f} adds/s batched (ref single: {1/950e-6:,.1f}/s)")
+    dev_add_per_s = _device_busy_throughput(
+        lambda: add_step(ca.limbs, cb.limbs), n_add, reps=2
+    )
+    if dev_add_per_s:
+        log(f"hom. add u32 device-busy: {dev_add_per_s:,.1f} adds/s on-silicon")
 
     sum_limbs = add_step(ca.limbs, cb.limbs)
 
@@ -307,6 +312,11 @@ def main() -> None:
         )
         mul_per_s = n_mul / t_mul
         log(f"hom. mul u8: {mul_per_s:,.2f} muls/s batched")
+        dev_mul_per_s = _device_busy_throughput(
+            lambda: mul_step(ma.limbs, mb.limbs), n_mul, reps=2
+        )
+        if dev_mul_per_s:
+            log(f"hom. mul u8 device-busy: {dev_mul_per_s:,.1f} muls/s on-silicon")
         prod_limbs = mul_step(ma.limbs, mb.limbs)
         w_mul = msk.decrypt_mask(prod_limbs.shape[-1])
 
@@ -332,11 +342,17 @@ def main() -> None:
             round(dev_dec_per_s, 1) if dev_dec_per_s else None
         ),
         "add_u32_per_s_batched": round(add_per_s, 2),
+        "add_u32_device_busy_per_s": (
+            round(dev_add_per_s, 2) if dev_add_per_s else None
+        ),
         "decipher_after_add_u32_per_s": round(dab_per_s, 2),
         "device": str(dev),
     }
     if n_mul:
         extras["mul_u8_per_s_batched"] = round(mul_per_s, 2)
+        extras["mul_u8_device_busy_per_s"] = (
+            round(dev_mul_per_s, 2) if dev_mul_per_s else None
+        )
         extras["decipher_after_mul_u8_per_s"] = round(n_mul / t_dm, 2)
 
     # ---- scaled config: d=dp=1024, tau=256, 1e5-bit bulk (BASELINE #5) ----
@@ -398,6 +414,15 @@ def main() -> None:
         )
         extras["scaled_1024_encrypt_bits_per_s_2e20"] = round(lB / t_l, 1)
         extras["scaled_1024_decrypt_bits_per_s_2e20"] = round(lB / t_ld, 1)
+        k2 = keys[2]
+        dev_senc = _device_busy_throughput(lambda: senc_large(k2), lB, reps=2)
+        dev_sdec = _device_busy_throughput(lambda: sdec_large(lct), lB, reps=2)
+        if dev_senc:
+            log(f"scaled @2^20 device-busy: enc {dev_senc:,.0f} bits/s")
+            extras["scaled_1024_encrypt_device_busy_bits_per_s"] = round(dev_senc, 1)
+        if dev_sdec:
+            log(f"scaled @2^20 device-busy: dec {dev_sdec:,.0f} bits/s")
+            extras["scaled_1024_decrypt_device_busy_bits_per_s"] = round(dev_sdec, 1)
 
     extras["measurement_windows"] = _STATS
 

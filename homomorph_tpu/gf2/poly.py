@@ -367,6 +367,13 @@ def decipher_bits(c: jax.Array, w: jax.Array) -> jax.Array:
 
     ``c``: [..., L] ciphered-bit limbs; ``w``: [L] mask from
     :func:`decrypt_mask`.  Returns uint32 0/1 with shape [...].
+
+    Deliberately pure XLA: measured on the v5e at 0.19 ms for 2^21 bits at
+    L=9 (2x the HBM read SOL) and 0.41 ms for 2^20 bits at L=65 (81% of
+    read SOL) - XLA fuses mask+popcount+reduce over the minor axis without
+    materializing intermediates.  A fused Pallas pass was prototyped and
+    measured 3-35x SLOWER (a [TB, L] block with minor dim 9..65 forces a
+    strided HBM->VMEM relayout); see PERF.md round-3 decrypt section.
     """
     pops = lax.population_count(c & w)
     return (jnp.sum(pops, axis=-1, dtype=U32) & 1).astype(U32)

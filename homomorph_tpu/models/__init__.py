@@ -7,6 +7,8 @@ from .numbers import (  # noqa: F401
     HomomorphicEquality,
     HomomorphicGreaterThan,
     HomomorphicLessThan,
+    HomomorphicMaximum,
+    HomomorphicMinimum,
     HomomorphicMultiplication,
     HomomorphicNegation,
     HomomorphicNotGate,

@@ -52,6 +52,12 @@ __all__ = [
     "le",
     "ge",
     "select",
+    "min_",
+    "max_",
+    "shl",
+    "shr",
+    "rotl",
+    "rotr",
     "mul_unsigned",
     "mul_unsigned_lanes",
     "mul_signed",
@@ -163,10 +169,14 @@ def add(a: Ciphered, b: Ciphered, carry_in: CipheredBit | None = None) -> Cipher
     a, b = a.densify(), b.densify()
     x_all = gate_xor(a, b)
     g_all = gate_and(a, b)
-    # m = x * (g ^ 1), lane-parallel (batched over all bit positions)
+    # m = x * (g ^ 1), lane-parallel (batched over all bit positions).
+    # EXACT width, not bucketed: m is the carry chain's hot small operand
+    # and the Pallas kernel's pass count is (Lb+1) - padding 25 -> 32
+    # limbs at the headline config costs +27% VPU work on every one of the
+    # n-1 sequential steps (profiled; PERF.md round-3 adder section).
     m_limbs = gf2k.clmul(x_all.limbs, gf2.xor_const_bit(g_all.limbs, 1))
     m_bound = x_all.bound + g_all.bound
-    m_limbs = gf2.fit_limbs(m_limbs, gf2.bucket(gf2.limbs_for(m_bound)))
+    m_limbs = gf2.fit_limbs(m_limbs, gf2.limbs_for(m_bound))
 
     n = len(a)
     carry = carry_in or CipheredBit.zero(a.batch_shape)
@@ -183,13 +193,21 @@ def add(a: Ciphered, b: Ciphered, carry_in: CipheredBit | None = None) -> Cipher
 
     xs = [x_all[i] for i in range(n)]
     gs = [g_all[i] for i in range(n)]
-    ms = [CipheredBit(m_limbs[..., i, :], m_bound) for i in range(n)]
     out: list[CipheredBit] = []
     for i in range(n):
         out.append(xs[i].xor(carry))
         if i + 1 >= n:
             break
-        carry = gs[i].xor(ms[i].and_(carry))
+        # c' = g ^ m*c.  The carry stays degree-class bucketed (fully
+        # exact widths would give ~31 distinct Mosaic kernel shapes per
+        # chain - measured minutes of one-time compile on this host for a
+        # ~7-14% row-extent saving); the m operand above is exact because
+        # it is the same 25-limb tensor at EVERY step, so exactness there
+        # costs zero extra kernels and saves 27% of the passes.
+        prod = gf2k.clmul(m_limbs[..., i, :], carry.limbs)
+        nb = max(g_all.bound, m_bound + carry.bound)
+        Lc = gf2.bucket(gf2.limbs_for(nb))
+        carry = CipheredBit(gf2.xor(gf2.fit_limbs(prod, Lc), gs[i].limbs), nb)
     return Ciphered.new_from_raw(out, a.desc)
 
 
@@ -331,10 +349,13 @@ def _adder_carry_out(a: Ciphered, b: Ciphered, carry: CipheredBit) -> CipheredBi
     g_all = gate_and(a, b)
     m_limbs = gf2k.clmul(x_all.limbs, gf2.xor_const_bit(g_all.limbs, 1))
     m_bound = x_all.bound + g_all.bound
-    m_limbs = gf2.fit_limbs(m_limbs, gf2.bucket(gf2.limbs_for(m_bound)))
+    # exact-width m, bucketed carry - see add() for the rationale
+    m_limbs = gf2.fit_limbs(m_limbs, gf2.limbs_for(m_bound))
     for i in range(len(a)):
-        m_i = CipheredBit(m_limbs[..., i, :], m_bound)
-        carry = g_all[i].xor(m_i.and_(carry))
+        prod = gf2k.clmul(m_limbs[..., i, :], carry.limbs)
+        nb = max(g_all.bound, m_bound + carry.bound)
+        Lc = gf2.bucket(gf2.limbs_for(nb))
+        carry = CipheredBit(gf2.xor(gf2.fit_limbs(prod, Lc), g_all[i].limbs), nb)
     return carry
 
 
@@ -421,6 +442,96 @@ def select(cond: CipheredBit, a: Ciphered, b: Ciphered) -> Ciphered:
     return Ciphered(
         gf2.fit_limbs(out, gf2.bucket(gf2.limbs_for(bound))), bound, a.desc
     )
+
+
+def min_(a: Ciphered, b: Ciphered) -> Ciphered:
+    """Homomorphic minimum (extension): ``a < b ? a : b``.
+
+    One borrow-chain comparison + one mux; signedness-dispatched through
+    :func:`lt`.  Noise degree = compare + one fresh factor (the mux's
+    single AND) - see ``models.noise.min_max_noise_degree``.
+    """
+    a, b = a.densify(), b.densify()
+    c = lt(a, b)
+    return select(c[0], a, b)
+
+
+def max_(a: Ciphered, b: Ciphered) -> Ciphered:
+    """Homomorphic maximum (extension): ``a < b ? b : a``."""
+    a, b = a.densify(), b.densify()
+    c = lt(a, b)
+    return select(c[0], b, a)
+
+
+def _zero_lanes_like(a: Ciphered, k: int) -> "jnp.ndarray":
+    return jnp.zeros(a.limbs.shape[:-2] + (k, a.limbs.shape[-1]), a.limbs.dtype)
+
+
+def shl(a: Ciphered, k: int) -> Ciphered:
+    """Logical shift left by a PLAINTEXT ``k`` (extension): ``a << k``.
+
+    Pure lane remapping - bit lane ``i`` of the result is lane ``i - k``
+    of the input, the bottom ``k`` lanes become trivial zeros.  Degree-free
+    (no gate runs), like Rust's wrapping ``<<`` the top ``k`` lanes drop.
+    """
+    a = a.densify()
+    n = len(a)
+    if not 0 <= k:
+        raise ValueError("shift amount must be non-negative")
+    if k == 0:
+        return a
+    if k >= n:
+        return Ciphered(_zero_lanes_like(a, n), 0, a.desc)
+    out = jnp.concatenate(
+        [_zero_lanes_like(a, k), a.limbs[..., : n - k, :]], axis=-2
+    )
+    return Ciphered(out, a.bound, a.desc)
+
+
+def shr(a: Ciphered, k: int, *, arithmetic: bool | None = None) -> Ciphered:
+    """Shift right by a PLAINTEXT ``k`` (extension): ``a >> k``.
+
+    Logical for unsigned descriptors, arithmetic (sign-replicating) for
+    signed ones - Rust's ``>>`` semantics - unless overridden with
+    ``arithmetic=``.  Degree-free lane remapping (the replicated sign lane
+    is a copy, not a gate).
+    """
+    a = a.densify()
+    n = len(a)
+    if not 0 <= k:
+        raise ValueError("shift amount must be non-negative")
+    if arithmetic is None:
+        arithmetic = _is_signed(a)
+    if k == 0:
+        return a
+    kk = min(k, n)
+    if arithmetic:
+        sign = a.limbs[..., n - 1 : n, :]
+        fill = jnp.broadcast_to(sign, sign.shape[:-2] + (kk,) + sign.shape[-1:])
+        bound = a.bound
+    else:
+        fill = _zero_lanes_like(a, kk)
+        bound = a.bound if kk < n else 0
+    out = jnp.concatenate([a.limbs[..., kk:, :], fill], axis=-2)
+    return Ciphered(out, bound, a.desc)
+
+
+def rotl(a: Ciphered, k: int) -> Ciphered:
+    """Rotate left by a PLAINTEXT ``k`` (extension) - degree-free."""
+    a = a.densify()
+    n = len(a)
+    k %= n
+    if k == 0:
+        return a
+    out = jnp.concatenate(
+        [a.limbs[..., n - k :, :], a.limbs[..., : n - k, :]], axis=-2
+    )
+    return Ciphered(out, a.bound, a.desc)
+
+
+def rotr(a: Ciphered, k: int) -> Ciphered:
+    """Rotate right by a PLAINTEXT ``k`` (extension) - degree-free."""
+    return rotl(a, -k)
 
 
 def neg(a: Ciphered) -> Ciphered:

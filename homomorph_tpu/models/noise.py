@@ -39,6 +39,7 @@ __all__ = [
     "mul_noise_degree",
     "compare_noise_degree",
     "eq_noise_degree",
+    "min_max_noise_degree",
     "required_ratio",
 ]
 
@@ -106,6 +107,13 @@ def compare_noise_degree(n: int, delta: int) -> int:
 def eq_noise_degree(n: int, delta: int) -> int:
     """Equality: XNOR lanes (affine) + AND tree = product of n lanes."""
     return n * fresh_noise_degree(delta)
+
+
+def min_max_noise_degree(n: int, delta: int) -> int:
+    """min/max (circuits.min_/max_): one borrow-chain comparison feeding a
+    mux ``out = b ^ cond*(a^b)`` - one more AND of the compare result with
+    a fresh-degree lane."""
+    return compare_noise_degree(n, delta) + fresh_noise_degree(delta)
 
 
 def required_ratio(noise_at_delta1: int) -> int:

@@ -48,6 +48,8 @@ __all__ = [
     "HomomorphicEquality",
     "HomomorphicLessThan",
     "HomomorphicGreaterThan",
+    "HomomorphicMinimum",
+    "HomomorphicMaximum",
 ]
 
 
@@ -212,6 +214,41 @@ class HomomorphicGreaterThan(HomomorphicOperation2):
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
         return circuits.gt(a, b)
+
+
+class HomomorphicMinimum(HomomorphicOperation2):
+    """``min(a, b)`` (not in the reference): borrow-chain compare + mux.
+
+    Signedness-dispatched through :func:`circuits.lt`.  One AND deeper
+    than the comparison (the mux), hence the +2 on the published-style
+    class constant; the checked API uses the exact width-aware bound.
+    """
+
+    MIN_D_OVER_DELTA = 23
+
+    @classmethod
+    def requirement_for(cls, *operands: Ciphered) -> int:
+        n = max(len(c) for c in operands)
+        return _noise.required_ratio(_noise.min_max_noise_degree(n, 1))
+
+    @staticmethod
+    def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
+        return circuits.min_(a, b)
+
+
+class HomomorphicMaximum(HomomorphicOperation2):
+    """``max(a, b)`` (not in the reference); see :class:`HomomorphicMinimum`."""
+
+    MIN_D_OVER_DELTA = 23
+
+    @classmethod
+    def requirement_for(cls, *operands: Ciphered) -> int:
+        n = max(len(c) for c in operands)
+        return _noise.required_ratio(_noise.min_max_noise_degree(n, 1))
+
+    @staticmethod
+    def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
+        return circuits.max_(a, b)
 
 
 class HomomorphicEquality(HomomorphicOperation2):

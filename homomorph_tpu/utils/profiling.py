@@ -33,17 +33,26 @@ _CHIP_PEAKS = {
 
 
 def chip_peaks(device=None) -> dict:
-    """Best-effort peak numbers for the current device."""
+    """Best-effort peak numbers for the current device.
+
+    "lite" variants are checked BEFORE the bare generation match: a
+    "TPU v5 lite" (v5e) would otherwise string-match the full "v5" entry
+    and overstate HBM bandwidth 1.5x (1228 vs 819 GB/s), silently
+    inflating every SOL fraction computed from it.
+    """
     try:
         import jax
 
         kind = (device or jax.devices()[0]).device_kind.lower()
     except Exception:
         kind = "cpu"
+    kind = kind.replace(" ", "")
+    if "lite" in kind:
+        return _CHIP_PEAKS["v5e"]
     for key, peaks in _CHIP_PEAKS.items():
-        if key in kind.replace(" ", ""):
+        if key in kind:
             return peaks
-    if "lite" in kind or "v5" in kind:
+    if "v5" in kind:
         return _CHIP_PEAKS["v5e"]
     return _CHIP_PEAKS["cpu"]
 

@@ -303,3 +303,84 @@ class TestRecursiveStructOf:
         out = ctx.decrypt(c)
         assert out.flag is False and out.inner.a == 200
         assert out.inner.b == 65535 and out.weight == -1.25
+
+
+# --------------------------------------------------------------------------
+# Round-3 op-library extensions: shifts, rotates, min/max
+# --------------------------------------------------------------------------
+
+
+class TestShiftsRotates:
+    def test_shl(self, ctx):
+        vals = [1, 0x81, 255]
+        a = ctx.encrypt(vals, hm.U8, batch=True)
+        for k in (0, 1, 3, 7, 8, 12):
+            got = [int(v) for v in ctx.decrypt(circuits.shl(a, k))]
+            assert got == [(v << k) & 0xFF for v in vals], k
+
+    def test_shr_logical(self, ctx):
+        vals = [0x80, 0xFF, 3]
+        a = ctx.encrypt(vals, hm.U8, batch=True)
+        for k in (0, 1, 4, 7, 8, 11):
+            got = [int(v) for v in ctx.decrypt(circuits.shr(a, k))]
+            assert got == [v >> k for v in vals], k
+
+    def test_shr_arithmetic_for_signed(self, ctx):
+        vals = [-128, -1, 64, -37]
+        a = ctx.encrypt(vals, hm.I8, batch=True)
+        for k in (1, 3, 7):
+            got = [int(v) for v in ctx.decrypt(circuits.shr(a, k))]
+            assert got == [v >> k for v in vals], k  # python >> is arithmetic
+
+    def test_rotl_rotr(self, ctx):
+        vals = [0b10010110, 1]
+        a = ctx.encrypt(vals, hm.U8, batch=True)
+        for k in (0, 1, 5, 8, 13):
+            got = [int(v) for v in ctx.decrypt(circuits.rotl(a, k))]
+            want = [((v << (k % 8)) | (v >> (8 - k % 8))) & 0xFF if k % 8 else v
+                    for v in vals]
+            assert got == want, k
+        got = [int(v) for v in ctx.decrypt(circuits.rotr(a, 3))]
+        assert got == [((v >> 3) | (v << 5)) & 0xFF for v in vals]
+
+    def test_shift_is_degree_free(self, ctx):
+        a = ctx.encrypt(200, hm.U8)
+        assert circuits.shl(a, 3).bound == a.bound
+        assert circuits.rotl(a, 3).bound == a.bound
+
+    def test_negative_shift_rejected(self, ctx):
+        a = ctx.encrypt(1, hm.U8)
+        with pytest.raises(ValueError):
+            circuits.shl(a, -1)
+
+
+class TestMinMax:
+    def test_unsigned(self, ctx):
+        from homomorph_tpu.models import HomomorphicMaximum, HomomorphicMinimum
+
+        cases = [(30, 200), (200, 30), (7, 7)]
+        xs, ys = zip(*cases)
+        a = ctx.encrypt(list(xs), hm.U8, batch=True)
+        b = ctx.encrypt(list(ys), hm.U8, batch=True)
+        mn = [int(v) for v in ctx.decrypt(ctx.apply2(HomomorphicMinimum, a, b))]
+        mx = [int(v) for v in ctx.decrypt(ctx.apply2(HomomorphicMaximum, a, b))]
+        assert mn == [min(x, y) for x, y in cases]
+        assert mx == [max(x, y) for x, y in cases]
+
+    def test_signed(self, ctx):
+        from homomorph_tpu.models import HomomorphicMinimum
+
+        cases = [(-3, 2), (2, -3), (-100, -99)]
+        xs, ys = zip(*cases)
+        a = ctx.encrypt(list(xs), hm.I8, batch=True)
+        b = ctx.encrypt(list(ys), hm.I8, batch=True)
+        mn = [int(v) for v in ctx.decrypt(ctx.apply2(HomomorphicMinimum, a, b))]
+        assert mn == [min(x, y) for x, y in cases]
+
+    def test_requirement_rejects_tight_params(self):
+        from homomorph_tpu.models import HomomorphicMinimum
+
+        ctx = make_ctx(64, 16, 2, 16)  # u8 min needs d/delta >= 51 -> 102 > 64
+        a, b = ctx.encrypt(1, hm.U8), ctx.encrypt(2, hm.U8)
+        with pytest.raises(hm.InvalidParametersError):
+            ctx.apply2(HomomorphicMinimum, a, b)
