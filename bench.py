@@ -87,36 +87,14 @@ def _latency(fn, n_steps: int, warmup: int = 2, label: str | None = None) -> flo
 
 def _device_busy_throughput(step_fn, n_bits: int, reps: int = 4):
     """Items/s from profiler-measured device-busy time of the jitted
-    no-arg thunk (sums the top-level jit_* trace event).  Returns None on
-    any failure (e.g. profiler unsupported on the backend)."""
-    import glob
-    import gzip
-    import tempfile
+    no-arg thunk (homomorph_tpu.utils.profiling.device_busy).  Returns
+    None when the profiler is unavailable on the backend."""
+    from homomorph_tpu.utils.profiling import device_busy
 
-    import jax
-
-    try:
-        with tempfile.TemporaryDirectory() as td:
-            jax.block_until_ready(step_fn())
-            with jax.profiler.trace(td):
-                for _ in range(reps):
-                    jax.block_until_ready(step_fn())
-            total_us = 0.0
-            for f in glob.glob(f"{td}/**/*.trace.json.gz", recursive=True):
-                with gzip.open(f) as fh:
-                    data = json.load(fh)
-                for e in data.get("traceEvents", []):
-                    if (
-                        e.get("ph") == "X"
-                        and e.get("name", "").startswith("jit_")
-                        and "dur" in e
-                    ):
-                        total_us += e["dur"]
-            if total_us <= 0:
-                return None
-            return n_bits / (total_us / reps / 1e6)
-    except Exception:
+    secs, _ = device_busy(step_fn, reps=reps)
+    if not secs:
         return None
+    return n_bits / secs
 
 
 def main() -> None:

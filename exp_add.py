@@ -13,44 +13,16 @@ HBM traffic model next to them.
 
 from __future__ import annotations
 
-import glob
-import gzip
-import json
 import sys
-import tempfile
-from collections import defaultdict
 
 
 def _profile(fn, reps=2):
-    """Run fn() reps times under the profiler; return (total_jit_us_per_rep,
-    {op_name: us_per_rep} for device ops)."""
-    import jax
+    """(total_jit_us_per_rep, {op_name: us_per_rep}) via the shared trace
+    parser (homomorph_tpu.utils.profiling.device_busy)."""
+    from homomorph_tpu.utils.profiling import device_busy
 
-    jax.block_until_ready(fn())  # compile
-    with tempfile.TemporaryDirectory() as td:
-        with jax.profiler.trace(td):
-            for _ in range(reps):
-                jax.block_until_ready(fn())
-        ops = defaultdict(float)
-        jit_us = 0.0
-        for f in glob.glob(f"{td}/**/*.trace.json.gz", recursive=True):
-            with gzip.open(f) as fh:
-                data = json.load(fh)
-            pid_names = {
-                p["pid"]: p["args"].get("name", "")
-                for p in data.get("traceEvents", [])
-                if p.get("ph") == "M" and p.get("name") == "process_name"
-            }
-            for e in data.get("traceEvents", []):
-                if e.get("ph") != "X" or "dur" not in e:
-                    continue
-                name = e.get("name", "")
-                pname = pid_names.get(e.get("pid"), "")
-                if name.startswith("jit_"):
-                    jit_us += e["dur"]
-                elif "TPU" in pname or "/device" in pname.lower():
-                    ops[name] += e["dur"]
-    return jit_us / reps, {k: v / reps for k, v in ops.items()}
+    secs, ops = device_busy(fn, reps=reps)
+    return (secs or 0.0) * 1e6, {k: v for k, v in ops.items()}
 
 
 def profile_add():

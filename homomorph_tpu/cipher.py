@@ -406,13 +406,7 @@ class Ciphered:
         n_bytes = n // 8
         if n_bytes > MAX_DECODE_BYTES:
             raise DecodeTooLargeError(n_bytes, MAX_DECODE_BYTES)
-        bits = _decrypt_core(self.limbs, sk.decrypt_mask(self.num_limbs))
-        host = np.asarray(jax.device_get(bits), dtype=np.uint8)
-        if self.zero_lanes:
-            host = np.concatenate(
-                [host, np.zeros(host.shape[:-1] + (self.zero_lanes,), np.uint8)],
-                axis=-1,
-            )
+        host = self.decipher_bits(sk)
         flat = host.reshape(-1, n)
         data = np.packbits(flat, axis=-1, bitorder="little")
         values = self.desc.decode_batch(data)
@@ -457,9 +451,9 @@ class Ciphered:
         n_phys = self.limbs.shape[-2]
         if i < 0:
             i += len(self)
+        if i < 0 or i >= len(self):
+            raise IndexError(i)
         if i >= n_phys:
-            if i >= len(self):
-                raise IndexError(i)
             return CipheredBit.zero(self.batch_shape)
         return CipheredBit(self.limbs[..., i, :], self.bound)
 

@@ -618,9 +618,14 @@ def _resolve_annotation(ann: Any, where: str) -> TypeDescriptor:
             "a numpy dtype (np.uint32, ...) or a TypeDescriptor (U32, ...)"
         )
     origin = typing.get_origin(ann)
-    if origin is list:
-        (elem,) = typing.get_args(ann)
-        return VecDescriptor(_resolve_annotation(elem, where))
+    if ann is list or origin is list:
+        args = typing.get_args(ann)
+        if len(args) != 1:
+            raise TypeError(
+                f"{where}: bare `list` has no element type - annotate as "
+                "list[T] (e.g. list[np.uint8]) or use vec_of(...)"
+            )
+        return VecDescriptor(_resolve_annotation(args[0], where))
     if origin is typing.Union or origin is getattr(_types, "UnionType", None):
         args = [a for a in typing.get_args(ann) if a is not type(None)]
         if len(args) == 1 and type(None) in typing.get_args(ann):

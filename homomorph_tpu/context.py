@@ -190,6 +190,22 @@ d/delta >= 64, got d=32, delta=2
             raise SecretKeyUnsetError("Secret key not generated yet")
         return ciphered.decipher(self._secret_key)
 
+    def zeroize(self) -> None:
+        """Scrub all key material held by this context.
+
+        The reference zeroizes the secret key on Drop
+        (src/context.rs:199-206); Python has no deterministic drop, so
+        this is the explicit end-of-life call: the secret key (and every
+        sk-derived reduction cache) is overwritten via
+        :meth:`~homomorph_tpu.keys.SecretKey.zeroize`, and both key
+        references are cleared.  The context remains usable after fresh
+        ``generate_secret_key``/``generate_public_key`` calls.
+        """
+        if self._secret_key is not None:
+            self._secret_key.zeroize()
+        self._secret_key = None
+        self._public_key = None
+
     # -- checked operation API (src/context.rs:308-323, 490-546) -------------
 
     def validate_operation(

@@ -632,11 +632,16 @@ def mul_unsigned_lanes(
 
 def _pp_tensor(a: Ciphered, b: Ciphered) -> list[list[CipheredBit]]:
     """All n*n partial products in ONE batched carry-less multiply
-    (broadcast over the two lane axes), then sliced into lanes."""
+    (broadcast over the two lane axes), then sliced into lanes.
+
+    EXACT width, not bucketed: like the adder's ``m`` operand, the pp
+    lanes are the hot small operands of every accumulation-step clmul and
+    all share ONE tensor, so exactness costs no extra kernel shapes while
+    cutting the kernel's per-plane pass count (see add())."""
     a, b = a.densify(), b.densify()
     prod = gf2k.clmul(a.limbs[..., :, None, :], b.limbs[..., None, :, :])
     bound = a.bound + b.bound
-    prod = gf2.fit_limbs(prod, gf2.bucket(gf2.limbs_for(bound)))
+    prod = gf2.fit_limbs(prod, gf2.limbs_for(bound))
     n = len(a)
     return [
         [CipheredBit(prod[..., i, j, :], bound) for j in range(n)] for i in range(n)

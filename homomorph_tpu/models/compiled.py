@@ -28,8 +28,9 @@ from ..params import Parameters
 __all__ = ["compile_op2", "compile_op1", "compile_roundtrip"]
 
 
-def _derive_bound(apply_fn, bound: int, desc, *abstract_limbs) -> int:
-    """Output degree bound of an operation, derived by an abstract trace.
+def _derive_meta(apply_fn, bound: int, desc, *abstract_limbs) -> dict:
+    """Output metadata (degree bound, zero_lanes, descriptor) of an
+    operation, derived by an abstract trace.
 
     ``bound`` is a trace-time Python value, so it cannot be returned from
     a jitted function; ``jax.eval_shape`` traces the op abstractly RIGHT
@@ -42,10 +43,12 @@ def _derive_bound(apply_fn, bound: int, desc, *abstract_limbs) -> int:
         args = [Ciphered(x, bound, desc) for x in limbs]
         out = apply_fn(*args)
         meta["bound"] = out.bound
+        meta["zero_lanes"] = out.zero_lanes
+        meta["desc"] = out.desc
         return out.limbs
 
     jax.eval_shape(probe, *abstract_limbs)
-    return meta["bound"]
+    return meta
 
 
 def compile_op2(
@@ -56,7 +59,7 @@ def compile_op2(
     ``bound`` is the operands' degree bound (``params.pk_degree`` for
     fresh ciphertexts).  Shapes specialize on first call per batch shape.
     """
-    out_bound = {}
+    out_meta = {}
 
     @jax.jit
     def run(a_limbs, b_limbs):
@@ -65,11 +68,19 @@ def compile_op2(
         return op.unsafe_apply(a, b).limbs
 
     def call(a: Ciphered, b: Ciphered) -> Ciphered:
-        if "v" not in out_bound:
-            out_bound["v"] = _derive_bound(
-                op.unsafe_apply, bound, desc, a.limbs, b.limbs
+        if not out_meta:
+            out_meta.update(
+                _derive_meta(op.unsafe_apply, bound, desc, a.limbs, b.limbs)
             )
-        return Ciphered(run(a.limbs, b.limbs), out_bound["v"], desc)
+        # re-attach the trace-time metadata: comparison/equality ops return
+        # the slim Ciphered[Bool] layout (zero_lanes=7) and a Bool desc -
+        # dropping either makes the result undecryptable/mistyped
+        return Ciphered(
+            run(a.limbs, b.limbs),
+            out_meta["bound"],
+            out_meta["desc"],
+            zero_lanes=out_meta["zero_lanes"],
+        )
 
     return call
 
@@ -77,7 +88,7 @@ def compile_op2(
 def compile_op1(
     op, desc: _codec.TypeDescriptor, bound: int
 ) -> Callable[[Ciphered], Ciphered]:
-    out_bound = {}
+    out_meta = {}
 
     @jax.jit
     def run(a_limbs):
@@ -85,9 +96,14 @@ def compile_op1(
         return op.unsafe_apply(a).limbs
 
     def call(a: Ciphered) -> Ciphered:
-        if "v" not in out_bound:
-            out_bound["v"] = _derive_bound(op.unsafe_apply, bound, desc, a.limbs)
-        return Ciphered(run(a.limbs), out_bound["v"], desc)
+        if not out_meta:
+            out_meta.update(_derive_meta(op.unsafe_apply, bound, desc, a.limbs))
+        return Ciphered(
+            run(a.limbs),
+            out_meta["bound"],
+            out_meta["desc"],
+            zero_lanes=out_meta["zero_lanes"],
+        )
 
     return call
 
@@ -127,13 +143,21 @@ def compile_roundtrip(
 
     @functools.partial(jax.jit)
     def run(key, bits_a, bits_b, w):
+        import jax.numpy as jnp
+
         ka, kb = jax.random.split(key)
         sel_a = _random_selection(ka, tuple(bits_a.shape), tau)
         sel_b = _random_selection(kb, tuple(bits_b.shape), tau)
         a = Ciphered(_encrypt_core(sel_a, pk_bits, bits_a, L), bound, desc)
         b = Ciphered(_encrypt_core(sel_b, pk_bits, bits_b, L), bound, desc)
         out = op.unsafe_apply(a, b)
-        return gf2.decipher_bits(out.limbs, w)
+        bits = gf2.decipher_bits(out.limbs, w)
+        if out.zero_lanes:  # slim bool layout: implicit lanes decrypt to 0
+            bits = jnp.concatenate(
+                [bits, jnp.zeros(bits.shape[:-1] + (out.zero_lanes,), bits.dtype)],
+                axis=-1,
+            )
+        return bits
 
     def call(key, bits_a, bits_b):
         # abstract-trace once to learn the output degree class, then reuse

@@ -119,6 +119,63 @@ def decrypt_sol(batch_bits: int, n_limbs: int, device=None) -> float:
 
 
 # --------------------------------------------------------------------------
+# Device-busy measurement (profiler-trace parsing)
+# --------------------------------------------------------------------------
+
+
+def device_busy(fn, reps: int = 2):
+    """Profiler-measured device-busy time of a jitted no-arg thunk.
+
+    Runs ``fn()`` once to compile, then ``reps`` times under
+    ``jax.profiler.trace`` and parses the trace: returns
+    ``(jit_seconds_per_rep, {op_name: us_per_rep})`` where the first is
+    the summed top-level ``jit_*`` event duration (the canonical
+    device-busy number used by bench.py) and the second is the per-op
+    breakdown from the device track (used by exp_add.py).  Returns
+    ``(None, {})`` on any failure (e.g. profiler unsupported on the
+    backend) - the one place this fragile trace-schema parsing lives.
+    """
+    import glob
+    import gzip
+    import json
+    import tempfile
+    from collections import defaultdict
+
+    import jax
+
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            jax.block_until_ready(fn())
+            with jax.profiler.trace(td):
+                for _ in range(reps):
+                    jax.block_until_ready(fn())
+            ops = defaultdict(float)
+            jit_us = 0.0
+            for f in glob.glob(f"{td}/**/*.trace.json.gz", recursive=True):
+                with gzip.open(f) as fh:
+                    data = json.load(fh)
+                pid_names = {
+                    p["pid"]: p["args"].get("name", "")
+                    for p in data.get("traceEvents", [])
+                    if p.get("ph") == "M" and p.get("name") == "process_name"
+                }
+                for e in data.get("traceEvents", []):
+                    if e.get("ph") != "X" or "dur" not in e:
+                        continue
+                    name = e.get("name", "")
+                    pname = pid_names.get(e.get("pid"), "")
+                    if name.startswith("jit_"):
+                        jit_us += e["dur"]
+                    elif "TPU" in pname or "/device" in pname.lower():
+                        ops[name] += e["dur"]
+            if jit_us <= 0:
+                return None, {}
+            return jit_us / reps / 1e6, {k: v / reps for k, v in ops.items()}
+    except Exception:
+        return None, {}
+
+
+# --------------------------------------------------------------------------
 # Counters
 # --------------------------------------------------------------------------
 

@@ -62,3 +62,38 @@ class TestCompiledOps:
             np.asarray(out, dtype=np.uint8), axis=1, bitorder="little"
         ).reshape(-1)
         assert (got == xs + ys).all()
+
+
+class TestCompiledSlimBool:
+    """Regression: compiled comparison/equality ops must re-attach the slim
+    Ciphered[Bool] metadata (zero_lanes, desc) the jit boundary drops."""
+
+    def test_compile_op2_lessthan_decrypts(self):
+        from homomorph_tpu.models import HomomorphicLessThan
+
+        ctx = make_ctx(3, hm.Parameters(128, 16, 1, 16))
+        a = ctx.encrypt([10, 200], hm.U8, batch=True)
+        b = ctx.encrypt([32, 100], hm.U8, batch=True)
+        fn = compile_op2(HomomorphicLessThan, hm.U8, ctx.parameters.pk_degree)
+        got = fn(a, b)
+        assert len(got) == 8 and got.zero_lanes == 7
+        assert got.desc is hm.Bool  # desc follows the op's output type
+        assert [bool(v) for v in ctx.decrypt(got)] == [True, False]
+
+    def test_compile_roundtrip_equality_bits(self):
+        from homomorph_tpu.models import HomomorphicEquality
+
+        ctx = make_ctx(4, hm.Parameters(128, 16, 1, 16))
+        fn = compile_roundtrip(ctx, HomomorphicEquality, hm.U8)
+        bits = np.unpackbits(
+            np.array([[7], [9]], dtype=np.uint8), axis=1, bitorder="little"
+        ).astype(np.uint32)
+        bits_b = np.unpackbits(
+            np.array([[7], [8]], dtype=np.uint8), axis=1, bitorder="little"
+        ).astype(np.uint32)
+        out = np.asarray(
+            fn(jax.random.key(0), jax.numpy.asarray(bits), jax.numpy.asarray(bits_b))
+        )
+        assert out.shape[-1] == 8  # full logical byte, implicit lanes padded
+        assert list(out[0]) == [1, 0, 0, 0, 0, 0, 0, 0]  # 7 == 7
+        assert list(out[1]) == [0, 0, 0, 0, 0, 0, 0, 0]  # 9 != 8

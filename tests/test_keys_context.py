@@ -245,3 +245,22 @@ class TestConstructorGuards:
         assert sk == sk2
         sk.zeroize()
         assert sk != sk2 and sk2 != sk and sk != sk
+
+
+class TestContextZeroize:
+    def test_zeroize_scrubs_and_clears(self):
+        import homomorph_tpu as hm
+
+        ctx = hm.Context(hm.Parameters(64, 16, 1, 16), source=hm.ThreefrySource(9))
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+        sk = ctx.get_secret_key()
+        ctx.zeroize()
+        assert ctx.get_secret_key() is None and ctx.get_public_key() is None
+        with pytest.raises(hm.SecretKeyUnsetError):
+            sk.to_bytes()  # the key object itself is poisoned
+        # context is reusable after fresh keygen
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+        c = ctx.encrypt(5, hm.U8)
+        assert int(ctx.decrypt(c)) == 5

@@ -384,3 +384,25 @@ class TestMinMax:
         a, b = ctx.encrypt(1, hm.U8), ctx.encrypt(2, hm.U8)
         with pytest.raises(hm.InvalidParametersError):
             ctx.apply2(HomomorphicMinimum, a, b)
+
+
+class TestReviewFixes:
+    """Round-3 self-review findings (see git history)."""
+
+    def test_negative_out_of_range_lane_raises(self, ctx):
+        c = ctx.encrypt(5, hm.U8)
+        assert int(c[-1].decipher(ctx.get_secret_key())) == 0  # top bit of 5
+        with pytest.raises(IndexError):
+            c[-9]
+        r = circuits.lt(ctx.encrypt(1, hm.U8), ctx.encrypt(2, hm.U8))
+        assert int(r[-1].decipher(ctx.get_secret_key())) == 0  # implicit zero
+        with pytest.raises(IndexError):
+            r[-9]
+
+    def test_bare_list_annotation_guided_error(self):
+        @dataclasses.dataclass
+        class BadList:
+            xs: list
+
+        with pytest.raises(TypeError, match="list\\[T\\]"):
+            hm.struct_of(BadList)
