@@ -344,7 +344,11 @@ def _adder_carry_out(a: Ciphered, b: Ciphered, carry: CipheredBit) -> CipheredBi
     """Final carry out of the full ``len(a)``-bit ripple chain.
 
     Same ``c' = g ^ m*c`` recurrence as :func:`add`, run through ALL n
-    positions (``add`` drops the last update for wrapping semantics)."""
+    positions (``add`` drops the last update for wrapping semantics).
+    The comparison circuits used this (``a < b = NOT carry_out(a + ~b + 1)``)
+    before the tree comparator (:func:`_lt_tree`) replaced it with a
+    log-depth, 3x-lower-noise circuit; kept as the independent semantic
+    oracle the tree is tested against (tests/test_round3.py)."""
     x_all = gate_xor(a, b)
     g_all = gate_and(a, b)
     m_limbs = gf2k.clmul(x_all.limbs, gf2.xor_const_bit(g_all.limbs, 1))
@@ -394,18 +398,66 @@ def _flip_top_bit(c: Ciphered) -> Ciphered:
     )
 
 
+def _lt_tree(a: Ciphered, b: Ciphered) -> CipheredBit:
+    """Unsigned ``a < b`` by pairwise tree reduction (log-depth).
+
+    Per-lane seeds: ``lt_i = ~a_i * b_i`` (one batched clmul) and
+    ``eq_i = a_i XNOR b_i`` (affine).  Merge rule for a high/low split:
+
+        lt' = lt_hi ^ eq_hi * lt_lo        (the OR of DISJOINT events -
+        eq' = eq_hi * eq_lo                 hi parts differing forces
+                                            eq_hi = 0 - so OR == XOR)
+
+    vs the borrow chain: sequential depth log2(n) instead of n, TWO wide
+    batched clmuls per level instead of one narrow clmul per bit, and the
+    worst-case noise degree drops from ~3n*(delta+1) to (n+1)*(delta+1)
+    (models/noise.py::compare_noise_degree) - so u8 comparisons need
+    d/delta >= 19 instead of 49.  Odd lane counts pass the leftover lane
+    through to the next level.
+    """
+    # lane seeds
+    na = gf2.xor_const_bit(a.limbs, 1)
+    lt_l = gf2k.clmul(na, b.limbs)  # [..., n, 2L]
+    lt_b = a.bound + b.bound
+    lt_l = gf2.fit_limbs(lt_l, gf2.bucket(gf2.limbs_for(lt_b)))
+    eq_l = gf2.xor_const_bit(gf2.xor(a.limbs, b.limbs), 1)
+    eq_b = max(a.bound, b.bound)
+
+    n = lt_l.shape[-2]
+    while n > 1:
+        half = n // 2
+        # lanes are LSB-first: pair (lo=2j, hi=2j+1) keeps significance order
+        lt_lo, lt_hi = lt_l[..., 0::2, :][..., :half, :], lt_l[..., 1::2, :]
+        eq_lo, eq_hi = eq_l[..., 0::2, :][..., :half, :], eq_l[..., 1::2, :]
+        prod = gf2k.clmul(eq_hi, lt_lo)
+        new_lt_b = max(lt_b, eq_b + lt_b)
+        Ll = gf2.bucket(gf2.limbs_for(new_lt_b))
+        lt_new = gf2.fit_limbs(
+            gf2.xor(gf2.pad_limbs(lt_hi, prod.shape[-1]), prod), Ll
+        )
+        eq_new = gf2k.clmul(eq_hi, eq_lo)
+        new_eq_b = 2 * eq_b
+        eq_new = gf2.fit_limbs(eq_new, gf2.bucket(gf2.limbs_for(new_eq_b)))
+        if n % 2:  # leftover (most-significant) lane passes through
+            odd_lt = gf2.pad_limbs(lt_l[..., -1:, :], lt_new.shape[-1])
+            odd_eq = gf2.pad_limbs(eq_l[..., -1:, :], eq_new.shape[-1])
+            lt_new = jnp.concatenate([lt_new, odd_lt], axis=-2)
+            eq_new = jnp.concatenate([eq_new, odd_eq], axis=-2)
+        lt_l, eq_l = lt_new, eq_new
+        lt_b, eq_b = new_lt_b, new_eq_b
+        n = lt_l.shape[-2]
+    return CipheredBit(lt_l[..., 0, :], lt_b)
+
+
 def lt(a: Ciphered, b: Ciphered) -> Ciphered:
     """``a < b`` as ``Ciphered[Bool]`` (extension).
 
-    Borrow-chain comparison: the carry out of the full-width
-    ``a + ~b + 1`` is the NOT-borrow, so ``a < b = NOT carry_out``.
-    Signed (two's-complement) operands are dispatched on the descriptor:
-    both sign bits are flipped first (degree-free), then the unsigned
-    chain runs unchanged.
+    Tree comparison (see :func:`_lt_tree`); signed (two's-complement)
+    operands are dispatched on the descriptor: both sign bits are flipped
+    first (degree-free), then the unsigned tree runs unchanged.
     """
     a, b = _map_to_unsigned_order(a.densify(), b.densify())
-    carry = _adder_carry_out(a, gate_not(b), CipheredBit.one(a.batch_shape))
-    return _bool_out(carry.not_())
+    return _bool_out(_lt_tree(a, b))
 
 
 def gt(a: Ciphered, b: Ciphered) -> Ciphered:
@@ -416,15 +468,13 @@ def gt(a: Ciphered, b: Ciphered) -> Ciphered:
 def le(a: Ciphered, b: Ciphered) -> Ciphered:
     """``a <= b``: NOT (b < a); signedness-dispatched."""
     a, b = _map_to_unsigned_order(a.densify(), b.densify())
-    carry = _adder_carry_out(b, gate_not(a), CipheredBit.one(a.batch_shape))
-    return _bool_out(carry)
+    return _bool_out(_lt_tree(b, a).not_())
 
 
 def ge(a: Ciphered, b: Ciphered) -> Ciphered:
     """``a >= b``: NOT (a < b); signedness-dispatched."""
     a, b = _map_to_unsigned_order(a.densify(), b.densify())
-    carry = _adder_carry_out(a, gate_not(b), CipheredBit.one(a.batch_shape))
-    return _bool_out(carry)
+    return _bool_out(_lt_tree(a, b).not_())
 
 
 def select(cond: CipheredBit, a: Ciphered, b: Ciphered) -> Ciphered:

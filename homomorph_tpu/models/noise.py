@@ -94,14 +94,26 @@ def mul_noise_degree(n: int, delta: int, signed: bool = False) -> int:
 
 
 def compare_noise_degree(n: int, delta: int) -> int:
-    """lt/gt/le/ge: the adder's carry chain run one step further
-    (circuits._adder_carry_out)."""
+    """lt/gt/le/ge: the pairwise tree comparator (circuits._lt_tree).
+
+    Exact replay of the tree recurrence on per-group degrees: lane seeds
+    ``lt_i = ~a_i * b_i`` (2*D0) and affine ``eq_i`` (D0); each merge is
+    ``lt' = lt_hi ^ eq_hi * lt_lo``, ``eq' = eq_hi * eq_lo``.  For
+    power-of-two widths this is ``(n+1)*(delta+1)`` - ~3x tighter than
+    the borrow-chain comparator it replaced (u8: 19 vs 49).
+    """
     D0 = fresh_noise_degree(delta)
-    # full n-step chain with carry-in = one(): c0 deg 0
-    c = 0
-    for i in range(n):
-        c = max(2 * D0, 3 * D0 + c)
-    return c
+    lt = [2 * D0] * n
+    eq = [D0] * n
+    while len(lt) > 1:
+        half = len(lt) // 2
+        nlt = [max(lt[2 * j + 1], eq[2 * j + 1] + lt[2 * j]) for j in range(half)]
+        neq = [eq[2 * j + 1] + eq[2 * j] for j in range(half)]
+        if len(lt) % 2:
+            nlt.append(lt[-1])
+            neq.append(eq[-1])
+        lt, eq = nlt, neq
+    return lt[0]
 
 
 def eq_noise_degree(n: int, delta: int) -> int:

@@ -112,8 +112,10 @@ class HomomorphicMultiplication(HomomorphicOperation2):
     delta=1), and it grows EXPONENTIALLY with width (u16: 19,348; u32:
     4.4e8) because the accumulation multiplies carries by running sums.
     The checked API therefore validates the exact bound per width: u8
-    multiplication needs d/delta >= 153; u16+ multiplication is
-    unreachable inside the u16 parameter space and is only available via
+    multiplication needs d/delta >= 153; u16 needs 19,349 - still inside
+    the u16 parameter space (d <= 65535) at delta=1, though ciphertexts
+    then carry ~600+ limbs per lane; u32 and wider (requirement ~4.4e8)
+    are unreachable for ANY valid parameters and only available via
     ``unsafe_apply`` (where correctness additionally requires a secret
     key with S(0) = 0 - see NOISE.md)."""
 
@@ -180,12 +182,12 @@ class HomomorphicNegation(HomomorphicOperation1):
 class HomomorphicLessThan(HomomorphicOperation2):
     """``a < b`` as ``Ciphered[Bool]`` (not in the reference).
 
-    The adder's borrow chain run to the final carry - one more step of the
-    same ``c' = g ^ m*c`` recurrence as :class:`HomomorphicAddition`, so it
-    shares that operation's published requirement.  Signed (two's-
-    complement) descriptors dispatch to the sign-bit-flipped circuit
-    (degree-free, so the requirement is unchanged) exactly as
-    multiplication dispatches on ``desc.signed``.
+    Pairwise tree comparator (circuits._lt_tree): log-depth, exact noise
+    degree ``(n+1)*(delta+1)`` for power-of-two widths - ~3x tighter than
+    a borrow-chain comparison, so u8 comparisons need ``d/delta >= 19``.
+    Signed (two's-complement) descriptors dispatch to the sign-bit-flipped
+    circuit (degree-free, requirement unchanged) exactly as multiplication
+    dispatches on ``desc.signed``.
     """
 
     MIN_D_OVER_DELTA = 21

@@ -204,7 +204,7 @@ def _check_circuits(failures: list[str], log, with_mul: bool) -> None:
     else:
         log(f"verify: u8 add ok ({B} random operand pairs)")
 
-    # compare (borrow chain): requirement 49 <= 64
+    # compare (tree comparator): requirement 19 <= 64
     lt = [bool(v) for v in ctx.decrypt(circuits.lt(a, b))]
     if lt != [x < y for x, y in zip(xs, ys)]:
         failures.append("u8 homomorphic lt wrong on device")

@@ -380,10 +380,16 @@ class TestMinMax:
     def test_requirement_rejects_tight_params(self):
         from homomorph_tpu.models import HomomorphicMinimum
 
-        ctx = make_ctx(64, 16, 2, 16)  # u8 min needs d/delta >= 51 -> 102 > 64
+        # u8 min with the tree comparator needs d/delta >= 21 (noise.py);
+        # delta=4 makes 21*4 = 84 > 64 -> rejected, while delta=2 (42 <= 64)
+        # is now VALID (the borrow-chain comparator needed 51).
+        ctx = make_ctx(64, 16, 4, 16)
         a, b = ctx.encrypt(1, hm.U8), ctx.encrypt(2, hm.U8)
         with pytest.raises(hm.InvalidParametersError):
             ctx.apply2(HomomorphicMinimum, a, b)
+        ctx2 = make_ctx(64, 16, 2, 16, seed=3)
+        a2, b2 = ctx2.encrypt(9, hm.U8), ctx2.encrypt(4, hm.U8)
+        assert int(ctx2.decrypt(ctx2.apply2(HomomorphicMinimum, a2, b2))) == 4
 
 
 class TestReviewFixes:
@@ -406,3 +412,43 @@ class TestReviewFixes:
 
         with pytest.raises(TypeError, match="list\\[T\\]"):
             hm.struct_of(BadList)
+
+
+class TestTreeComparator:
+    """The tree comparator must agree with the independent borrow-chain
+    oracle (NOT carry_out(a + ~b + 1)) on every value pair polarity, and
+    its exact noise bound must be ~3x tighter."""
+
+    def test_tree_matches_borrow_oracle(self, ctx):
+        from homomorph_tpu.cipher import CipheredBit
+        from homomorph_tpu.models.circuits import _adder_carry_out, gate_not
+
+        rng = np.random.default_rng(33)
+        xs = [int(v) for v in rng.integers(0, 256, size=16)] + [0, 255, 7, 7]
+        ys = [int(v) for v in rng.integers(0, 256, size=16)] + [255, 0, 7, 8]
+        a = ctx.encrypt(xs, hm.U8, batch=True)
+        b = ctx.encrypt(ys, hm.U8, batch=True)
+        tree = [bool(v) for v in ctx.decrypt(circuits.lt(a, b))]
+        carry = _adder_carry_out(a, gate_not(b), CipheredBit.one(a.batch_shape))
+        borrow = [
+            bool(v) for v in np.asarray(carry.not_().decipher(ctx.get_secret_key()))
+        ]
+        want = [x < y for x, y in zip(xs, ys)]
+        assert tree == want
+        assert borrow == want
+
+    def test_bound_is_tighter(self):
+        from homomorph_tpu.models import noise
+
+        assert noise.compare_noise_degree(8, 1) == 18  # (n+1)*(delta+1)
+        assert noise.compare_noise_degree(32, 1) == 66
+        # non-power-of-two width: simulated exactly, still ~linear
+        assert noise.compare_noise_degree(5, 1) <= 14
+
+    def test_u8_compare_at_small_d(self):
+        # requirement 19 -> d=32, delta=1 suffices now (borrow chain needed 49)
+        ctx = make_ctx(32, 8, 1, 8, seed=41)
+        a = ctx.encrypt([3, 200], hm.U8, batch=True)
+        b = ctx.encrypt([5, 100], hm.U8, batch=True)
+        got = [bool(v) for v in ctx.decrypt(ctx.apply2(HomomorphicLessThan, a, b))]
+        assert got == [True, False]
