@@ -54,6 +54,8 @@ __all__ = [
     "select",
     "min_",
     "max_",
+    "abs_",
+    "clamp",
     "shl",
     "shr",
     "rotl",
@@ -511,6 +513,25 @@ def max_(a: Ciphered, b: Ciphered) -> Ciphered:
     a, b = a.densify(), b.densify()
     c = lt(a, b)
     return select(c[0], b, a)
+
+
+def abs_(a: Ciphered) -> Ciphered:
+    """Homomorphic absolute value of a signed integer (extension).
+
+    ``sign ? -a : a`` - the sign lane muxes the negation.  Wrapping
+    semantics at the type minimum (``abs(i8 -128) = -128``), like Rust's
+    ``wrapping_abs``.  Noise degree: ``max(deg -a, D0 + deg -a)`` with
+    the negation's prefix-product degree - bounded by the subtraction
+    requirement, which :class:`~.numbers.HomomorphicNegation` shares.
+    """
+    a = a.densify()
+    return select(a[len(a) - 1], neg(a), a)
+
+
+def clamp(a: Ciphered, lo: Ciphered, hi: Ciphered) -> Ciphered:
+    """Homomorphic ``min(max(a, lo), hi)`` (extension); signedness follows
+    the descriptors through the tree comparator."""
+    return min_(max_(a, lo), hi)
 
 
 def _zero_lanes_like(a: Ciphered, k: int) -> "jnp.ndarray":

@@ -112,10 +112,12 @@ class HomomorphicMultiplication(HomomorphicOperation2):
     delta=1), and it grows EXPONENTIALLY with width (u16: 19,348; u32:
     4.4e8) because the accumulation multiplies carries by running sums.
     The checked API therefore validates the exact bound per width: u8
-    multiplication needs d/delta >= 153; u16 needs 19,349 - still inside
-    the u16 parameter space (d <= 65535) at delta=1, though ciphertexts
-    then carry ~600+ limbs per lane; u32 and wider (requirement ~4.4e8)
-    are unreachable for ANY valid parameters and only available via
+    multiplication needs d/delta >= 153; u16 needs 19,349, which still
+    fits the u16 parameter space (d <= 65535) at delta=1 - though the
+    same degree recurrence applied to CIPHERTEXT degrees (base d+dp
+    instead of delta+1) puts intermediate lanes near 1e8 bits, so it is
+    valid-but-impractical; u32 and wider (requirement ~4.4e8) are
+    unreachable for ANY valid parameters and only available via
     ``unsafe_apply`` (where correctness additionally requires a secret
     key with S(0) = 0 - see NOISE.md)."""
 

@@ -33,6 +33,16 @@ BINOPS = {
 UNOPS = {
     "not": (circuits.gate_not, lambda x: x ^ 0xFF),
     "neg": (circuits.neg, lambda x: (-x) & 0xFF),
+    "shl2": (lambda c: circuits.shl(c, 2), lambda x: (x << 2) & 0xFF),
+    "shr3": (lambda c: circuits.shr(c, 3), lambda x: x >> 3),
+    "rotl1": (lambda c: circuits.rotl(c, 1),
+              lambda x: ((x << 1) | (x >> 7)) & 0xFF),
+}
+# min/max are boolean functions of their input bits too, so they obey the
+# same fresh-bit degree argument as the arithmetic ops
+BINOPS_CMP = {
+    "min": (circuits.min_, np.minimum),
+    "max": (circuits.max_, np.maximum),
 }
 
 
@@ -53,8 +63,9 @@ def test_random_composition(ctx, seed):
             cs[i] = f_c(cs[i])
             ps[i] = f_p(ps[i])
         else:
-            name = rng.choice(list(BINOPS))
-            f_c, f_p = BINOPS[name]
+            table = BINOPS_CMP if rng.random() < 0.2 else BINOPS
+            name = rng.choice(list(table))
+            f_c, f_p = table[name]
             i, j = rng.choice(len(cs), size=2, replace=False)
             cs[i] = f_c(cs[i], cs[j])
             ps[i] = f_p(ps[i], ps[j])

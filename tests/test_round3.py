@@ -452,3 +452,41 @@ class TestTreeComparator:
         b = ctx.encrypt([5, 100], hm.U8, batch=True)
         got = [bool(v) for v in ctx.decrypt(ctx.apply2(HomomorphicLessThan, a, b))]
         assert got == [True, False]
+
+
+class TestAbsClamp:
+    def test_abs(self, ctx):
+        vals = [0, 5, -5, 127, -127, -128]
+        a = ctx.encrypt(vals, hm.I8, batch=True)
+        got = [int(v) for v in ctx.decrypt(circuits.abs_(a))]
+        # wrapping at the type minimum, like Rust's wrapping_abs
+        assert got == [0, 5, 5, 127, 127, -128]
+
+    def test_clamp(self, ctx):
+        vals = [1, 50, 120]
+        a = ctx.encrypt(vals, hm.U8, batch=True)
+        lo = ctx.encrypt([10] * 3, hm.U8, batch=True)
+        hi = ctx.encrypt([100] * 3, hm.U8, batch=True)
+        got = [int(v) for v in ctx.decrypt(circuits.clamp(a, lo, hi))]
+        assert got == [10, 50, 100]
+
+
+class TestTreeOddWidth:
+    def test_odd_lane_count_matches_oracle(self, ctx):
+        # 5-lane raw values: the tree's odd-width passthrough path
+        from homomorph_tpu.cipher import CipheredBit
+        from homomorph_tpu.models.circuits import _adder_carry_out, _lt_tree, gate_not
+
+        rng = np.random.default_rng(55)
+        xs = [int(v) for v in rng.integers(0, 32, size=12)] + [31, 0, 17, 17]
+        ys = [int(v) for v in rng.integers(0, 32, size=12)] + [0, 31, 17, 18]
+        a8 = ctx.encrypt(xs, hm.U8, batch=True)
+        b8 = ctx.encrypt(ys, hm.U8, batch=True)
+        a = hm.Ciphered(a8.limbs[..., :5, :], a8.bound, hm.BytesDescriptor(1))
+        b = hm.Ciphered(b8.limbs[..., :5, :], b8.bound, hm.BytesDescriptor(1))
+        sk = ctx.get_secret_key()
+        tree = [int(v) for v in np.asarray(_lt_tree(a, b).decipher(sk))]
+        carry = _adder_carry_out(a, gate_not(b), CipheredBit.one(a.batch_shape))
+        borrow = [int(v) for v in np.asarray(carry.not_().decipher(sk))]
+        want = [int(x < y) for x, y in zip(xs, ys)]
+        assert tree == want and borrow == want
