@@ -409,3 +409,55 @@ class TestWideMultiplication:
             v &= 0xFFFF
             return v - 0x10000 if v >= 0x8000 else v
         assert [int(v) for v in got] == [wrap(x * y) for x, y in zip(xs, ys)]
+
+
+class TestAllWidthGates:
+    """The reference instantiates gate tests for every primitive type via
+    macros (uint.rs/int.rs); here one parametrized test covers the same
+    matrix (gates are lane-parallel, so every width runs at tiny params)."""
+
+    WIDE = [
+        ("U16", 0xA5A5, 0x0FF0), ("U32", 0xDEADBEEF, 0x0F0F0F0F),
+        ("U64", (1 << 63) | 0xABC, 0xFFF), ("U128", (1 << 127) | 7, (1 << 100) | 7),
+        ("I16", -12345, 0x0FF0), ("I32", -(1 << 30), 0x0F0F0F0F),
+        ("I64", -(1 << 62), 0xFFF), ("I128", -(1 << 120), (1 << 99) | 3),
+        ("Usize", (1 << 60) | 9, 0xF0F0), ("Isize", -(1 << 60), 0xF0F0),
+    ]
+
+    @pytest.mark.parametrize("tname,x,y", WIDE, ids=[w[0] for w in WIDE])
+    def test_gates_all_widths(self, tname, x, y):
+        import homomorph_tpu as hm
+        from homomorph_tpu.models import (
+            HomomorphicAndGate,
+            HomomorphicNotGate,
+            HomomorphicXorGate,
+        )
+
+        desc = getattr(hm, tname)
+        nbits = desc.num_bits
+        mask = (1 << nbits) - 1
+
+        def to_signed(v):
+            v &= mask
+            return v - (1 << nbits) if desc.signed and v >> (nbits - 1) else v
+
+        ctx = make_ctx(32, 8, 8, 8, seed=hash(tname) % 1000)
+        a, b = ctx.encrypt(x, desc), ctx.encrypt(y, desc)
+        got_and = int(ctx.decrypt(ctx.apply2(HomomorphicAndGate, a, b)))
+        got_xor = int(ctx.decrypt(ctx.apply2(HomomorphicXorGate, a, b)))
+        got_not = int(ctx.decrypt(ctx.apply1(HomomorphicNotGate, a)))
+        assert got_and == to_signed(x & y)
+        assert got_xor == to_signed(x ^ y)
+        assert got_not == to_signed(~x)
+
+
+@pytest.mark.slow
+class TestWideAddition:
+    def test_u64_add(self):
+        # add_noise_degree(64, 1) = 382 -> d = 512 suffices (uint.rs's wide
+        # long tests run at comparable production-ish params)
+        ctx = make_ctx(512, 16, 1, 16, seed=71)
+        x, y = (1 << 63) | 123456789, (1 << 62) | 987654321
+        a, b = ctx.encrypt(x, hm.U64), ctx.encrypt(y, hm.U64)
+        got = int(ctx.decrypt(ctx.apply2(HomomorphicAddition, a, b)))
+        assert got == (x + y) & ((1 << 64) - 1)
