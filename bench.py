@@ -255,6 +255,25 @@ def main() -> None:
 
     sum_limbs = add_step(ca.limbs, cb.limbs)
 
+    # ---- homomorphic compare u32 (tree comparator; extension op) ---------
+    @jax.jit
+    def lt_step(a_limbs, b_limbs):
+        a = hm.Ciphered(a_limbs, params.pk_degree, hm.U32)
+        b = hm.Ciphered(b_limbs, params.pk_degree, hm.U32)
+        return circuits.lt(a, b).limbs
+
+    t_lt = _throughput(
+        lambda: lt_step(ca.limbs, cb.limbs), max(8, n_steps // 2), warmup=1,
+        label="lt_u32",
+    )
+    lt_per_s = n_add / t_lt
+    log(f"hom. lt u32: {lt_per_s:,.1f} compares/s batched (tree comparator)")
+    dev_lt_per_s = _device_busy_throughput(
+        lambda: lt_step(ca.limbs, cb.limbs), n_add, reps=2
+    )
+    if dev_lt_per_s:
+        log(f"hom. lt u32 device-busy: {dev_lt_per_s:,.1f} compares/s on-silicon")
+
     # ---- decipher after add ----------------------------------------------
     w_big = sk.decrypt_mask(sum_limbs.shape[-1])
 
@@ -324,6 +343,10 @@ def main() -> None:
             round(dev_add_per_s, 2) if dev_add_per_s else None
         ),
         "decipher_after_add_u32_per_s": round(dab_per_s, 2),
+        "lt_u32_per_s_batched": round(lt_per_s, 2),
+        "lt_u32_device_busy_per_s": (
+            round(dev_lt_per_s, 2) if dev_lt_per_s else None
+        ),
         "device": str(dev),
     }
     if n_mul:

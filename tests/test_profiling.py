@@ -91,3 +91,21 @@ class TestCompilationCache:
         got = hm.enable_compilation_cache(d)
         assert got == d and os.path.isdir(d)
         assert hm.enable_compilation_cache(d) == d  # second call is a no-op
+
+
+class TestDeviceBusy:
+    def test_device_busy_returns_sane_values_or_none(self):
+        import jax
+        import jax.numpy as jnp
+
+        from homomorph_tpu.utils.profiling import device_busy
+
+        @jax.jit
+        def f():
+            return jnp.zeros((128, 128)) + 1.0
+
+        secs, ops = device_busy(f, reps=2)
+        # CPU backends may or may not expose jit_ trace events; either a
+        # positive measurement or a clean (None, {}) is acceptable - never
+        # an exception, never a non-positive number
+        assert (secs is None and ops == {}) or secs > 0
