@@ -36,6 +36,7 @@ from .. import codec as _codec
 from ..cipher import Ciphered, CipheredBit
 from ..gf2 import kernels as gf2k
 from ..gf2 import poly as gf2
+from . import csaplan as _csaplan
 
 __all__ = [
     "gate_and",
@@ -62,8 +63,12 @@ __all__ = [
     "rotr",
     "mul_unsigned",
     "mul_unsigned_lanes",
+    "mul_unsigned_ref",
     "mul_signed",
     "mul_signed_lanes",
+    "mul_signed_ref",
+    "sum_many",
+    "popcount",
 ]
 
 
@@ -658,8 +663,137 @@ def eq(a: Ciphered, b: Ciphered) -> Ciphered:
 
 
 # --------------------------------------------------------------------------
-# Multipliers (common.rs:66-163)
+# Multipliers
+#
+# Default: carry-save (Dadda) tree - a TPU-native redesign (see
+# models/csaplan.py).  The reference's sequential column accumulation
+# (common.rs:66-163) is kept verbatim as ``mul_unsigned_ref``/
+# ``mul_signed_ref``: it is the parity oracle the tree is tested against,
+# and the tighter circuit below the tree's crossover width.
 # --------------------------------------------------------------------------
+
+
+def _batched_clmul_pairs(
+    pairs: "list[tuple[CipheredBit, CipheredBit, object]]",
+) -> "dict[object, CipheredBit]":
+    """Evaluate many independent carry-less multiplies in few dispatches.
+
+    Pairs are grouped by their (exact) operand limb widths; each group
+    stacks into ONE batched clmul.  Product bits keep their own exact
+    bounds (widths inside a group may share padding, bounds never merge).
+    Results are NOT degree-class fitted - callers fit after any XOR
+    assembly so trivial re-pads aren't paid twice.
+    """
+    out: dict[object, CipheredBit] = {}
+    groups: dict[tuple[int, int], list[tuple[CipheredBit, CipheredBit, object]]] = {}
+    for u, v, key in pairs:
+        groups.setdefault((u.num_limbs, v.num_limbs), []).append((u, v, key))
+    for items in groups.values():
+        if len(items) == 1:
+            u, v, key = items[0]
+            out[key] = CipheredBit(gf2k.clmul(u.limbs, v.limbs), u.bound + v.bound)
+            continue
+        U = jnp.stack([u.limbs for u, _, _ in items], axis=-2)
+        V = jnp.stack([v.limbs for _, v, _ in items], axis=-2)
+        P = gf2k.clmul(U, V)
+        for idx, (u, v, key) in enumerate(items):
+            out[key] = CipheredBit(P[..., idx, :], u.bound + v.bound)
+    return out
+
+
+def _fit_bit(bit: CipheredBit, *, bucketed: bool = True) -> CipheredBit:
+    """Trim/pad a product bit to its bound's limb count (bucketed by
+    default - the degree-class discipline of CipheredBit.and_)."""
+    L = gf2.limbs_for(bit.bound)
+    if bucketed:
+        L = gf2.bucket(L)
+    return CipheredBit(gf2.fit_limbs(bit.limbs, L), bit.bound)
+
+
+def _csa_accumulate(
+    bits: "dict[int, CipheredBit]",
+    plan: "_csaplan.CsaPlan",
+    batch: tuple[int, ...],
+) -> list[CipheredBit]:
+    """Run a static carry-save plan (models/csaplan.py) on live bits.
+
+    Each level's compressor products execute as (typically) one stacked
+    clmul; sums are pure XORs that XLA fuses.  Compressors whose carry
+    falls off column ``n-1`` (wrapping) skip their products entirely -
+    only the affine sum survives.  Finishes with the two-row ripple add.
+    """
+    for level in plan.levels:
+        pairs: list[tuple[CipheredBit, CipheredBit, object]] = []
+        for op in level:
+            x, y = bits[op.x], bits[op.y]
+            if op.z is None:  # half adder
+                bits[op.sum] = x.xor(y)
+                if op.carry is not None:
+                    pairs.append((x, y, op.carry))
+            else:  # full adder: sum = x^y^z, carry = x*y ^ (x^y)*z
+                xy = x.xor(y)
+                bits[op.sum] = xy.xor(bits[op.z])
+                if op.carry is not None:
+                    pairs.append((x, y, ("p1", op.carry)))
+                    pairs.append((xy, bits[op.z], ("p2", op.carry)))
+        prods = _batched_clmul_pairs(pairs)
+        for op in level:
+            if op.carry is None:
+                continue
+            if op.z is None:
+                bits[op.carry] = _fit_bit(prods[op.carry])
+            else:
+                p1, p2 = prods[("p1", op.carry)], prods[("p2", op.carry)]
+                carry = CipheredBit(
+                    gf2.xor(p1.limbs, p2.limbs), max(p1.bound, p2.bound)
+                )
+                bits[op.carry] = _fit_bit(carry)
+    A = [bits[c[0]] if len(c) > 0 else None for c in plan.final_cols]
+    B = [bits[c[1]] if len(c) > 1 else None for c in plan.final_cols]
+    return _ripple_add_rows(A, B, batch)
+
+
+def _ripple_add_rows(
+    A: "list[CipheredBit | None]",
+    B: "list[CipheredBit | None]",
+    batch: tuple[int, ...],
+) -> list[CipheredBit]:
+    """Wrapping ripple-carry sum of two per-lane-bounded rows.
+
+    Same affine recurrence as :func:`add` (``c' = g ^ m*c`` with
+    ``m = x*(g^1)``), but lanes carry heterogeneous exact bounds (tree
+    levels leave low columns far below high ones), so the ``g``/``m``
+    precomputes batch through :func:`_batched_clmul_pairs` instead of one
+    uniform-width tensor.  ``None`` lanes are trivial zeros.
+    """
+    n = len(A)
+    zero = CipheredBit.zero(batch)
+    a = [x if x is not None else zero for x in A]
+    b = [x if x is not None else zero for x in B]
+    xs = [a[i].xor(b[i]) for i in range(n)]
+    gp = _batched_clmul_pairs([(a[i], b[i], i) for i in range(n - 1)])
+    gs = {i: _fit_bit(gp[i]) for i in range(n - 1)}
+    mp = _batched_clmul_pairs(
+        [(xs[i], gs[i].not_(), i) for i in range(n - 1)]
+    )
+    # m lanes exact-width (the chain's hot small operand - see add())
+    ms = {i: _fit_bit(mp[i], bucketed=False) for i in range(n - 1)}
+    out: list[CipheredBit] = []
+    carry: CipheredBit | None = None
+    for i in range(n):
+        out.append(xs[i] if carry is None else xs[i].xor(carry))
+        if i + 1 >= n:
+            break
+        if carry is None:
+            carry = gs[i]
+        else:
+            prod = gf2k.clmul(ms[i].limbs, carry.limbs)
+            nb = max(gs[i].bound, ms[i].bound + carry.bound)
+            Lc = gf2.bucket(gf2.limbs_for(nb))
+            carry = CipheredBit(
+                gf2.xor(gf2.fit_limbs(prod, Lc), gs[i].limbs), nb
+            )
+    return out
 
 
 def _mul_accumulate(
@@ -691,13 +825,29 @@ def _mul_accumulate(
     return result
 
 
+def _pp_bits(
+    pp: "list[list[CipheredBit]]", n: int
+) -> "dict[int, CipheredBit]":
+    """Index the wrapping-relevant partial products (i + j < n) by the
+    static plan's bit ids (models/csaplan.py: pp[i][j] -> i*n + j)."""
+    return {i * n + j: pp[i][j] for i in range(n) for j in range(n - i)}
+
+
 def mul_unsigned_lanes(
     a: Sequence[CipheredBit], b: Sequence[CipheredBit]
 ) -> list[CipheredBit]:
-    """Wrapping unsigned product of equal-length lane lists (common.rs:66-105)."""
+    """Wrapping unsigned product of equal-length lane lists.
+
+    Carry-save tree at ``TREE_MIN_WIDTH`` and above, the reference column
+    accumulation (common.rs:66-105) below it - the same dispatch as
+    :func:`mul_unsigned` (and models/noise.py), on the lane-list extension
+    surface (src/cipher.rs:253-259 Deref semantics).
+    """
     length = len(a)
     pp = [[a[i].and_(b[j]) for j in range(length)] for i in range(length)]
     batch = a[0].batch_shape if length else ()
+    if length >= _csaplan.TREE_MIN_WIDTH:
+        return _csa_accumulate(_pp_bits(pp, length), _csaplan.csa_plan(length), batch)
     return _mul_accumulate(pp, length, batch)
 
 
@@ -720,6 +870,29 @@ def _pp_tensor(a: Ciphered, b: Ciphered) -> list[list[CipheredBit]]:
 
 
 def mul_unsigned(a: Ciphered, b: Ciphered) -> Ciphered:
+    """Wrapping unsigned product - carry-save tree default.
+
+    At ``TREE_MIN_WIDTH`` (8) and above: the Dadda-style tree
+    (models/csaplan.py) - ``O(log n)`` batched compressor levels + one
+    two-row ripple add, ~2.7x less clmul work than the reference column
+    accumulation at u8 and polynomial (vs exponential) noise growth, so
+    u16..u64 products clear the checked API at representable ``d``
+    (models/noise.py::mul_noise_degree).  Below the crossover the
+    reference circuit is tighter on noise and runs instead
+    (:func:`mul_unsigned_ref`).
+    """
+    n = len(a)
+    if n < _csaplan.TREE_MIN_WIDTH:
+        return mul_unsigned_ref(a, b)
+    pp = _pp_tensor(a, b)
+    return Ciphered.new_from_raw(
+        _csa_accumulate(_pp_bits(pp, n), _csaplan.csa_plan(n), a.batch_shape), a.desc
+    )
+
+
+def mul_unsigned_ref(a: Ciphered, b: Ciphered) -> Ciphered:
+    """The reference's column-accumulation product (common.rs:66-105),
+    batched: the parity/semantic oracle for :func:`mul_unsigned`."""
     pp = _pp_tensor(a, b)
     return Ciphered.new_from_raw(
         _mul_accumulate(pp, len(a), a.batch_shape), a.desc
@@ -729,18 +902,39 @@ def mul_unsigned(a: Ciphered, b: Ciphered) -> Ciphered:
 def mul_signed_lanes(
     a: Sequence[CipheredBit], b: Sequence[CipheredBit]
 ) -> list[CipheredBit]:
-    """Wrapping signed (two's-complement) product: same accumulation with
+    """Wrapping signed (two's-complement) product on lane lists: the
     Baugh-Wooley sign corrections - XOR constant 1 into ``pp[0][n-1]`` and
-    ``pp[n-1][0]`` before accumulation (common.rs:115-155)."""
+    ``pp[n-1][0]`` before accumulation (common.rs:115-155) - feed the same
+    width-dispatched accumulation as :func:`mul_unsigned_lanes`."""
     length = len(a)
     pp = [[a[i].and_(b[j]) for j in range(length)] for i in range(length)]
     pp[0][length - 1] = pp[0][length - 1].not_()
     pp[length - 1][0] = pp[length - 1][0].not_()
     batch = a[0].batch_shape if length else ()
+    if length >= _csaplan.TREE_MIN_WIDTH:
+        return _csa_accumulate(_pp_bits(pp, length), _csaplan.csa_plan(length), batch)
     return _mul_accumulate(pp, length, batch)
 
 
 def mul_signed(a: Ciphered, b: Ciphered) -> Ciphered:
+    """Wrapping signed product - carry-save tree default (Baugh-Wooley
+    corrections are degree-free XORs with the trivial one, so the
+    unsigned noise bound carries over; see :func:`mul_unsigned`)."""
+    n = len(a)
+    if n < _csaplan.TREE_MIN_WIDTH:
+        return mul_signed_ref(a, b)
+    pp = _pp_tensor(a, b)
+    pp[0][n - 1] = pp[0][n - 1].not_()
+    pp[n - 1][0] = pp[n - 1][0].not_()
+    return Ciphered.new_from_raw(
+        _csa_accumulate(_pp_bits(pp, n), _csaplan.csa_plan(n), a.batch_shape), a.desc
+    )
+
+
+def mul_signed_ref(a: Ciphered, b: Ciphered) -> Ciphered:
+    """The reference's signed column-accumulation product
+    (common.rs:115-163): the parity/semantic oracle for
+    :func:`mul_signed`."""
     pp = _pp_tensor(a, b)
     n = len(a)
     pp[0][n - 1] = pp[0][n - 1].not_()
@@ -748,3 +942,61 @@ def mul_signed(a: Ciphered, b: Ciphered) -> Ciphered:
     return Ciphered.new_from_raw(
         _mul_accumulate(pp, n, a.batch_shape), a.desc
     )
+
+
+# --------------------------------------------------------------------------
+# N-ary sum + popcount (extensions; carry-save machinery reused)
+# --------------------------------------------------------------------------
+
+
+def sum_many(operands: "Sequence[Ciphered]") -> Ciphered:
+    """Wrapping sum of ``k`` same-width operands (extension, N-ary).
+
+    One carry-save tree over the k-row bit matrix
+    (models/csaplan.py::sum_plan) + one final ripple add - ``O(log k)``
+    batched compressor levels instead of ``k-1`` chained ripple adders
+    (``(k-1)*(n-1)`` sequential multiplies), and FAR tighter noise:
+    folding the adder over 8 u8 operands replays to worst degree ~2.0e8
+    at delta=1 while the tree stays at 186
+    (models/noise.py::sum_noise_degree vs chained_sum_noise_degree), so
+    wide reductions keep all-keys-safe parameters.  The result wraps mod
+    ``2^n`` exactly like folding :func:`add` over the operands.
+    """
+    ops = [o.densify() for o in operands]
+    if not ops:
+        raise ValueError("sum_many needs at least one operand")
+    n = len(ops[0])
+    if any(len(o) != n for o in ops):
+        raise ValueError("sum_many operands must share one bit width")
+    if len(ops) == 1:
+        return ops[0]
+    if len(ops) == 2:  # the uniform-width two-operand adder is tighter
+        return add(ops[0], ops[1])
+    k = len(ops)
+    bits = {o * n + j: ops[o][j] for o in range(k) for j in range(n)}
+    lanes = _csa_accumulate(
+        bits, _csaplan.sum_plan(n, k), ops[0].batch_shape
+    )
+    return Ciphered.new_from_raw(lanes, ops[0].desc)
+
+
+def popcount(a: Ciphered) -> Ciphered:
+    """Homomorphic population count (extension): the number of set bits,
+    as the same-width type.
+
+    All ``n`` bit lanes start in column 0 with weight 1
+    (models/csaplan.py::popcount_plan); the carry-save tree compresses
+    them into the ``log2(n)+1`` result columns and the final ripple add
+    settles the carries.  Upper output lanes are genuine ciphertext zeros
+    (products of the tree), so the result composes with any downstream
+    circuit.
+    """
+    a = a.densify()
+    n = len(a)
+    if n == 1:
+        return a
+    bits = {j: a[j] for j in range(n)}
+    lanes = _csa_accumulate(
+        bits, _csaplan.popcount_plan(n), a.batch_shape
+    )
+    return Ciphered.new_from_raw(lanes, a.desc)

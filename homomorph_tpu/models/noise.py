@@ -37,6 +37,10 @@ __all__ = [
     "fresh_noise_degree",
     "add_noise_degree",
     "mul_noise_degree",
+    "mul_ref_noise_degree",
+    "sum_noise_degree",
+    "chained_sum_noise_degree",
+    "popcount_noise_degree",
     "compare_noise_degree",
     "eq_noise_degree",
     "min_max_noise_degree",
@@ -71,9 +75,138 @@ def add_noise_degree(n: int, delta: int, carry_in: bool = False) -> int:
 
 
 def mul_noise_degree(n: int, delta: int, signed: bool = False) -> int:
-    """Column multiplier (circuits.mul_unsigned / common.rs:66-113) on
-    fresh inputs: exact replay of ``_mul_accumulate``'s bookkeeping on
-    integer degrees (Baugh-Wooley sign flips don't change degrees)."""
+    """Carry-save tree multiplier (circuits.mul_unsigned) on fresh inputs.
+
+    Exact replay of the SAME static plan the circuit executes
+    (models/csaplan.py) on integer degrees, followed by the final
+    ripple-carry add's per-lane recurrence (Baugh-Wooley sign flips are
+    XORs with the trivial one - degree-free).  Each full adder's carry is
+    ``x*y ^ (x^y)*z``: degree <= the sum of its two largest inputs; sums
+    are affine.  The result grows polynomially with width instead of the
+    reference circuit's exponential blowup (mul_ref_noise_degree):
+
+    ========  ============  ====================
+    width     tree (this)   reference circuit
+    ========  ============  ====================
+    u8        148           152
+    u16       1,012         19,348
+    u32       5,872         437,300,308
+    u64       33,376        3.9e17
+    ========  ============  ====================
+
+    (values at delta=1), making u16..u64 products reachable through the
+    checked API at representable ``d``.
+
+    Below ``TREE_MIN_WIDTH`` (= 8) the reference accumulation is tighter
+    (n=4: 16 vs 24) and the circuit dispatches to it; this function
+    returns the bound of whichever circuit actually runs.
+    """
+    from .csaplan import TREE_MIN_WIDTH, csa_plan
+
+    if n < TREE_MIN_WIDTH:
+        return mul_ref_noise_degree(n, delta, signed)
+    D0 = fresh_noise_degree(delta)
+    pp = 2 * D0
+    deg = {i * n + j: pp for i in range(n) for j in range(n - i)}
+    return _replay_csa(csa_plan(n), deg)
+
+
+def _replay_csa(plan, deg: dict) -> int:
+    """Exact degree replay of a carry-save plan (models/csaplan.py) plus
+    its final two-row ripple add, on pre-seeded initial degrees.
+
+    Shared by the multiplier (pp degrees 2*D0), the N-ary sum and
+    popcount (fresh degrees D0) - the replay and the executed circuit
+    consume the SAME plan object, so a plan change cannot silently
+    diverge from the published bounds.
+    """
+    n = plan.n
+    for level in plan.levels:
+        for op in level:
+            if op.z is None:
+                dx, dy = deg[op.x], deg[op.y]
+                deg[op.sum] = max(dx, dy)
+                carry = dx + dy
+            else:
+                dx, dy, dz = deg[op.x], deg[op.y], deg[op.z]
+                deg[op.sum] = max(dx, dy, dz)
+                carry = sum(sorted((dx, dy, dz))[-2:])
+            if op.carry is not None:
+                deg[op.carry] = carry
+    # final ripple add of the two remaining rows (circuits.add recurrence
+    # c' = g ^ m*c with m = x*(g^1); the last carry is dropped - wrapping)
+    A = [deg[c[0]] if len(c) > 0 else 0 for c in plan.final_cols]
+    B = [deg[c[1]] if len(c) > 1 else 0 for c in plan.final_cols]
+    worst = 0
+    carry: int | None = None
+    for i in range(n):
+        a, b = A[i], B[i]
+        worst = max(worst, a, b, carry or 0)  # out_i = a ^ b ^ c_i
+        if i + 1 < n:
+            g = a + b
+            m = max(a, b) + (a + b)
+            carry = g if carry is None else max(g, m + carry)
+    return worst
+
+
+def sum_noise_degree(n: int, delta: int, k: int) -> int:
+    """N-ary wrapping sum (circuits.sum_many) of ``k`` fresh operands of
+    width ``n``: exact replay of the shared sum plan.  For ``k <= 2`` the
+    circuit dispatches to the two-operand adder, and so does this bound.
+    Chained binary adds stack multiplicatively (folding add over k
+    operands replays far higher); the tree keeps the growth near-linear
+    in ``k``."""
+    from .csaplan import sum_plan
+
+    if k < 1:
+        raise ValueError("operand count must be positive")
+    if k == 1:
+        return fresh_noise_degree(delta)
+    if k == 2:
+        return add_noise_degree(n, delta)
+    D0 = fresh_noise_degree(delta)
+    deg = {o * n + j: D0 for o in range(k) for j in range(n)}
+    return _replay_csa(sum_plan(n, k), deg)
+
+
+def chained_sum_noise_degree(n: int, delta: int, k: int) -> int:
+    """Worst noise degree of folding the two-operand adder over ``k``
+    fresh operands (the alternative sum_many replaces): each fold reruns
+    the ripple recurrence with one accumulated operand.  Documentation /
+    comparison aid."""
+    D0 = fresh_noise_degree(delta)
+    acc = D0  # uniform per-lane worst bound of the accumulator
+    for _ in range(k - 1):
+        x = max(acc, D0)
+        g = acc + D0
+        m = x + g
+        c: int | None = None
+        worst = x
+        for _i in range(n - 1):
+            c = g if c is None else max(g, m + c)
+            worst = max(worst, x, c)
+        acc = worst
+    return acc
+
+
+def popcount_noise_degree(n: int, delta: int) -> int:
+    """Population count (circuits.popcount): exact replay of the
+    popcount plan on fresh input degrees."""
+    from .csaplan import popcount_plan
+
+    if n == 1:
+        return fresh_noise_degree(delta)
+    D0 = fresh_noise_degree(delta)
+    deg = {j: D0 for j in range(n)}
+    return _replay_csa(popcount_plan(n), deg)
+
+
+def mul_ref_noise_degree(n: int, delta: int, signed: bool = False) -> int:
+    """The REFERENCE column multiplier (circuits.mul_unsigned_ref /
+    common.rs:66-113) on fresh inputs: exact replay of
+    ``_mul_accumulate``'s bookkeeping on integer degrees (Baugh-Wooley
+    sign flips don't change degrees).  Kept for the parity oracle; the
+    shipped default is the carry-save tree (mul_noise_degree)."""
     D0 = fresh_noise_degree(delta)
     pp = 2 * D0  # every partial product a_i * b_j
     result = [0] * n  # degree 0 = the zero/constant lane

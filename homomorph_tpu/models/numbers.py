@@ -11,7 +11,10 @@ HomomorphicOrGate          2                 lane-wise OR  (common.rs:13-19)
 HomomorphicXorGate         1                 lane-wise XOR (common.rs:21-27)
 HomomorphicNotGate         1                 lane-wise NOT (common.rs:29-35)
 HomomorphicAddition        21                ripple-carry  (common.rs:37-64)
-HomomorphicMultiplication  64 (conservative) column mult   (common.rs:66-163)
+HomomorphicMultiplication  64 (conservative) carry-save tree (csaplan.py;
+                                             reference column circuit
+                                             common.rs:66-163 kept as the
+                                             oracle + below-width-8 path)
 =========================  ================  =============================
 
 Extensions NOT in the reference (same trait machinery, see class docs):
@@ -33,7 +36,11 @@ from __future__ import annotations
 
 from .. import codec as _codec
 from ..cipher import Ciphered
-from ..operations import HomomorphicOperation1, HomomorphicOperation2
+from ..operations import (
+    HomomorphicOperation1,
+    HomomorphicOperation2,
+    HomomorphicOperationN,
+)
 from . import circuits, noise as _noise
 
 __all__ = [
@@ -46,6 +53,8 @@ __all__ = [
     "HomomorphicSubtraction",
     "HomomorphicNegation",
     "HomomorphicEquality",
+    "HomomorphicSum",
+    "HomomorphicPopCount",
     "HomomorphicLessThan",
     "HomomorphicGreaterThan",
     "HomomorphicMinimum",
@@ -105,19 +114,22 @@ class HomomorphicAddition(HomomorphicOperation2):
 
 
 class HomomorphicMultiplication(HomomorphicOperation2):
-    """Column multiplication.  The class constant mirrors the reference's
-    "conservative default" 64 (src/impls/numbers.rs:47-50) - which is in
-    fact NOT conservative: the exact worst-case noise degree of the u8
-    circuit is 152*delta-ish (models/noise.py; measured >= 105 at
-    delta=1), and it grows EXPONENTIALLY with width (u16: 19,348; u32:
-    4.4e8) because the accumulation multiplies carries by running sums.
-    The checked API therefore validates the exact bound per width: u8
-    multiplication needs d/delta >= 153; u16 needs 19,349, which still
-    fits the u16 parameter space (d <= 65535) at delta=1 - though the
-    same degree recurrence applied to CIPHERTEXT degrees (base d+dp
-    instead of delta+1) puts intermediate lanes near 1e8 bits, so it is
-    valid-but-impractical; u32 and wider (requirement ~4.4e8) are
-    unreachable for ANY valid parameters and only available via
+    """Wrapping multiplication - carry-save tree circuit (0.3.x default).
+
+    The class constant mirrors the reference's "conservative default" 64
+    (src/impls/numbers.rs:47-50) - which is in fact NOT conservative even
+    for the reference's own circuit (exact u8 bound: 152*delta,
+    models/noise.py::mul_ref_noise_degree; measured >= 105 at delta=1),
+    and that circuit's bound grows EXPONENTIALLY with width (u16: 19,348;
+    u32: 4.4e8) because the accumulation multiplies carries by running
+    sums.  The shipped circuit is the Dadda-style carry-save tree
+    (models/csaplan.py, circuits.mul_unsigned) whose bound grows
+    polynomially; the checked API validates the exact width-aware bound
+    of whichever circuit runs (the reference accumulation below width 8,
+    where it is tighter): u8 needs d/delta >= 149, u16 1,013, u32 5,873,
+    u64 33,377 - all inside the representable parameter space, so wide
+    products now clear the checked API (the reference circuit allowed
+    only u8).  Beyond-envelope parameters remain available via
     ``unsafe_apply`` (where correctness additionally requires a secret
     key with S(0) = 0 - see NOISE.md)."""
 
@@ -253,6 +265,55 @@ class HomomorphicMaximum(HomomorphicOperation2):
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
         return circuits.max_(a, b)
+
+
+class HomomorphicSum(HomomorphicOperationN):
+    """N-ary wrapping sum (not in the reference): the first SHIPPED
+    consumer of the N-ary trait surface (the reference defines
+    ``HomomorphicOperation<N, T>`` at src/operations.rs:143-213 but ships
+    no N-ary op).
+
+    Carry-save tree over the k-row bit matrix (circuits.sum_many):
+    ``O(log k)`` batched compressor levels + one ripple add, with
+    near-linear noise growth in ``k`` - folding binary adds replays
+    astronomically higher (8 u8 operands: 186 vs ~2.0e8 at delta=1,
+    models/noise.py).  The class constant covers the two-operand case
+    (the adder's published 21); the checked API validates the exact
+    (width, count)-aware bound through :meth:`requirement_for`.
+    """
+
+    MIN_D_OVER_DELTA = 21
+
+    @classmethod
+    def requirement_for(cls, *operands: Ciphered) -> int:
+        n = max(len(c) for c in operands)
+        k = len(operands)
+        return _noise.required_ratio(_noise.sum_noise_degree(n, 1, k))
+
+    @staticmethod
+    def unsafe_apply(args) -> Ciphered:
+        return circuits.sum_many(args)
+
+
+class HomomorphicPopCount(HomomorphicOperation1):
+    """Population count (not in the reference): number of set bits, as
+    the operand's own width.
+
+    Carry-save reduction of the bit lanes (circuits.popcount).  Exact
+    width-aware bound via :meth:`requirement_for` (u8: 31, u32: 145); the
+    class constant is the all-shipped-widths-sound fallback (u128: 733).
+    """
+
+    MIN_D_OVER_DELTA = 733
+
+    @classmethod
+    def requirement_for(cls, *operands: Ciphered) -> int:
+        n = max(len(c) for c in operands)
+        return _noise.required_ratio(_noise.popcount_noise_degree(n, 1))
+
+    @staticmethod
+    def unsafe_apply(a: Ciphered) -> Ciphered:
+        return circuits.popcount(a)
 
 
 class HomomorphicEquality(HomomorphicOperation2):

@@ -213,7 +213,8 @@ def _check_circuits(failures: list[str], log, with_mul: bool) -> None:
 
     if not with_mul:
         return
-    # mul: u8 exact requirement is 153 (models/noise.py) <= d/delta = 160
+    # mul: u8 exact requirement is 149 (tree circuit, models/noise.py)
+    # <= d/delta = 160
     mctx = Context(Parameters(160, 16, 1, 16), encrypt_seed=13)
     mctx.generate_secret_key()
     mctx.generate_public_key()

@@ -107,9 +107,10 @@ class TestSuccessiveAddition:
 
 class TestMultiplication:
     # uint.rs:254-293 semantics.  d = 160: the EXACT u8-mul noise bound is
-    # 152*delta (models/noise.py), so the checked API requires
-    # d/delta >= 153 - the reference's own (128,*,1,*) configs are beyond
-    # the provable envelope (they decrypt only on S(0)=0 keys; NOISE.md).
+    # 148*delta for the carry-save tree (models/noise.py), so the checked
+    # API requires d/delta >= 149 - the reference's own (128,*,1,*) configs
+    # are beyond the provable envelope of either circuit (they decrypt
+    # only on S(0)=0 keys; NOISE.md).
     @pytest.fixture(scope="class")
     def ctx(self):
         return make_ctx(160, 16, 1, 16, seed=6)
@@ -163,10 +164,11 @@ class TestExtensive:
         """The reference's exact mul config (128,64,1,64; benches/u8.rs).
 
         This config is BEYOND the provable noise envelope (u8 mul worst
-        noise degree 152 > d=128, models/noise.py), so the checked API now
-        rejects it; the reference's own crate runs it through its unsafe
-        apply and it decrypts only on S(0)=0 keys.  Mirror that: unchecked
-        path + a seed whose key has S(0)=0 (seed 2, verified)."""
+        noise degree 148 > d=128 even for the tree circuit,
+        models/noise.py), so the checked API now rejects it; the
+        reference's own crate runs it through its unsafe apply and it
+        decrypts only on S(0)=0 keys.  Mirror that: unchecked path + a
+        seed whose key has S(0)=0 (seed 2, verified)."""
         from homomorph_tpu.models import circuits
 
         ctx = make_ctx(128, 64, 1, 64, seed=2)
@@ -174,7 +176,7 @@ class TestExtensive:
         assert int(np.asarray(ctx.get_secret_key().limbs)[0] & 1) == 0
         a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(7, hm.U8)
         with pytest.raises(hm.InvalidParametersError):
-            ctx.apply2(HomomorphicMultiplication, a, b)  # sound bound: 153
+            ctx.apply2(HomomorphicMultiplication, a, b)  # sound bound: 149
         assert ctx.decrypt(circuits.mul_unsigned(a, b)) == 42
 
 
@@ -362,12 +364,12 @@ class TestWideMultiplication:
     the reference's u8 bench width."""
 
     def _s0_zero_ctx(self, seed):
-        """Wide multiplication exceeds ANY practical d (u16 worst noise
-        degree: 19,348 at delta=1 - models/noise.py), so the checked API
-        rightly rejects it; beyond the envelope, decryption is correct
-        exactly on keys with S(0) = 0 (verified in test_noise_bounds.py).
-        These stress tests exercise the big circuit through the unchecked
-        path with pinned S(0)=0 keys (seeds 2/5, verified below)."""
+        """Wide multiplication at SMALL d: the u16 tree bound is 1,012 at
+        delta=1 (models/noise.py) - sound params exist (d >= 1013) but
+        these stress tests run the reference-bench-style d=128, far beyond
+        the envelope, where decryption is correct exactly on keys with
+        S(0) = 0 (verified in test_noise_bounds.py).  Unchecked path with
+        pinned S(0)=0 keys (seeds 2/5, verified below)."""
         import numpy as np
 
         import homomorph_tpu as hm
@@ -387,7 +389,7 @@ class TestWideMultiplication:
         ys = [5, 255, 3]
         a = ctx.encrypt(xs, hm.U16, batch=True)
         b = ctx.encrypt(ys, hm.U16, batch=True)
-        # the checked API rejects u16 mul at any practical parameters
+        # d=128 is far below the u16 tree bound (1,013) - rejected
         with pytest.raises(hm.InvalidParametersError):
             ctx.apply2(HomomorphicMultiplication, a, b)
         got = ctx.decrypt(circuits.mul_unsigned(a, b))

@@ -109,9 +109,13 @@ class TestCheckedApiUsesExactBounds:
 
         assert HomomorphicAddition.requirement_for(Lanes(8), Lanes(8)) == 41
         assert HomomorphicAddition.requirement_for(Lanes(32), Lanes(32)) == 185
-        assert HomomorphicMultiplication.requirement_for(Lanes(8), Lanes(8)) == 153
-        # wide mul is beyond the u16 parameter space entirely
-        assert HomomorphicMultiplication.requirement_for(Lanes(16), Lanes(16)) > 19000
+        # 0.3.x: the carry-save tree multiplier (models/csaplan.py)
+        # replaced the reference accumulation at widths >= 8 - u8 needs
+        # 149 (was 153) and u16 drops 19,349 -> 1,013, inside the u16
+        # parameter space (the reference circuit's bounds remain
+        # available via noise.mul_ref_noise_degree)
+        assert HomomorphicMultiplication.requirement_for(Lanes(8), Lanes(8)) == 149
+        assert HomomorphicMultiplication.requirement_for(Lanes(16), Lanes(16)) == 1013
 
     def test_reference_boundary_params_rejected(self):
         """d = 64*delta passes the reference's published mul constant but
