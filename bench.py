@@ -326,6 +326,54 @@ def main() -> None:
         )
         log(f"decipher-after-mul u8: {n_mul/t_dm:,.1f}/s batched")
 
+    # ---- homomorphic mul u16 (carry-save tree; beyond the reference) -----
+    # The reference's column-accumulation bound is 19,348*delta at u16 -
+    # beyond the u16 parameter field, so the reference cannot multiply u16
+    # at any sound parameters.  The carry-save tree (models/csaplan.py)
+    # needs d/delta >= 1,013; this measures it at d=1024, delta=1 with the
+    # product decrypted and asserted on-chip (nonzero random plaintexts).
+    n_mul16 = 0 if args.quick else 512
+    if n_mul16:
+        wp = hm.Parameters(1024, 128, 1, 128)
+        wctx = hm.Context(wp, source=hm.ThreefrySource(11))
+        wctx.generate_secret_key()
+        wctx.generate_public_key()
+        rng16 = np.random.default_rng(7)
+        xs16 = [int(v) for v in rng16.integers(0, 1 << 16, size=n_mul16)]
+        ys16 = [int(v) for v in rng16.integers(0, 1 << 16, size=n_mul16)]
+        wa = wctx.encrypt(xs16, hm.U16, batch=True)
+        wb = wctx.encrypt(ys16, hm.U16, batch=True)
+
+        @jax.jit
+        def mul16_step(a_limbs, b_limbs):
+            a = hm.Ciphered(a_limbs, wp.pk_degree, hm.U16)
+            b = hm.Ciphered(b_limbs, wp.pk_degree, hm.U16)
+            return circuits.mul_unsigned(a, b).limbs
+
+        p16 = mul16_step(wa.limbs, wb.limbs)  # warm + correctness input
+        got16 = [
+            int(v)
+            for v in wctx.decrypt(
+                hm.Ciphered(p16, int(p16.shape[-1]) * 32 - 1, hm.U16)
+            )
+        ]
+        want16 = [(x * y) & 0xFFFF for x, y in zip(xs16, ys16)]
+        if got16 != want16:
+            print("FATAL: on-chip u16 product decrypted incorrectly",
+                  file=sys.stderr)
+            sys.exit(1)
+        log("u16 product decrypts correctly on-chip (checked-API bound)")
+        t_m16 = _throughput(
+            lambda: mul16_step(wa.limbs, wb.limbs), 2, warmup=0, label="mul_u16"
+        )
+        log(f"hom. mul u16: {n_mul16/t_m16:,.1f} muls/s batched "
+            "(carry-save tree; reference cannot express u16 mul)")
+        dev_m16 = _device_busy_throughput(
+            lambda: mul16_step(wa.limbs, wb.limbs), n_mul16, reps=2
+        )
+        if dev_m16:
+            log(f"hom. mul u16 device-busy: {dev_m16:,.1f} muls/s on-silicon")
+
     extras = {
         "params": "d=128 dp=128 delta=64 tau=128",
         "batch_bits": B,
@@ -355,6 +403,11 @@ def main() -> None:
             round(dev_mul_per_s, 2) if dev_mul_per_s else None
         )
         extras["decipher_after_mul_u8_per_s"] = round(n_mul / t_dm, 2)
+    if n_mul16:
+        extras["mul_u16_per_s_batched"] = round(n_mul16 / t_m16, 2)
+        extras["mul_u16_device_busy_per_s"] = (
+            round(dev_m16, 2) if dev_m16 else None
+        )
 
     # ---- scaled config: d=dp=1024, tau=256, 1e5-bit bulk (BASELINE #5) ----
     if not args.skip_scaled and not args.quick:

@@ -58,7 +58,7 @@ def run(width: str):
     assert int(np.asarray(ctx.get_secret_key().limbs)[0] & 1) == 0
 
     desc = {"u8": hm.U8, "u16": hm.U16}[width]
-    mask = (1 << (8 * desc.size)) - 1
+    mask = (1 << desc.bits) - 1
     rng = np.random.default_rng(3)
     xs = [int(v) for v in rng.integers(0, mask + 1, size=B)]
     ys = [int(v) for v in rng.integers(0, mask + 1, size=B)]

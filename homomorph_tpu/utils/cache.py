@@ -7,12 +7,11 @@ set, so a persistent cache amortizes it to once per machine.  The test
 suite enables this via ``tests/conftest.py``; production entry points
 (bench.py) and users call :func:`enable_compilation_cache`.
 
-A Wallace-tree / carry-save multiplier was evaluated as an alternative
-(uniform batched layers - tiny traces): rejected because its carry-of-
-carry depth multiplies ``O(n^1.7)`` partial products on the worst path vs
-the reference accumulation's ``O(n)``, inflating both the polynomial
-degree (compute) and the noise bound (larger ``d`` required).  The
-reference circuit + a compile cache is the better trade.
+(An early Wallace-tree sketch with largest-first compressor inputs was
+rejected for noise growth; the shipped carry-save tree - models/
+csaplan.py, smallest-degree-first inputs - beats the reference
+accumulation on both noise and work at width >= 8.  The cache still
+matters: wide trees trace to large XLA programs either way.)
 """
 
 from __future__ import annotations
