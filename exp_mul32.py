@@ -41,7 +41,9 @@ CONFIGS = {
     # width: (d, B) - d chosen just above the exact tree bound at delta=1
     # (u16: 1,013, u32: 5,873); dp/tau kept at the headline 128.
     "u16": (1024, 512),
-    "u32": (5888, 128),
+    # u32 final ciphertexts are ~100 MB/value (degree ~2.4e7); B=8 keeps
+    # the result + tree intermediates inside one chip's HBM
+    "u32": (5888, 8),
 }
 
 

@@ -44,6 +44,7 @@ __all__ = [
     "compare_noise_degree",
     "eq_noise_degree",
     "min_max_noise_degree",
+    "div_noise_degree",
     "required_ratio",
 ]
 
@@ -259,6 +260,67 @@ def min_max_noise_degree(n: int, delta: int) -> int:
     mux ``out = b ^ cond*(a^b)`` - one more AND of the compare result with
     a fresh-degree lane."""
     return compare_noise_degree(n, delta) + fresh_noise_degree(delta)
+
+
+def div_noise_degree(n: int, delta: int) -> int:
+    """Why there is NO HomomorphicDivision: exact replay of the best
+    division circuit expressible from the shipped primitives.
+
+    Restoring long division - n sequential steps, each a full-width tree
+    comparison (``ge = shifted-out-bit OR NOT lt(R, D)``) feeding a
+    conditional subtract (``R' = R ^ ge*(R ^ (R - D))``).  The quotient
+    bit is data-dependent, so every step MULTIPLIES the remainder's
+    degree by the comparison's (~n*deg per step) - doubly-exponential
+    growth that no tree trick can flatten (the comparison's output
+    necessarily carries the product of the lane degrees it inspected):
+
+    ========  =====================================
+    width     required d/delta (replay, delta=1)
+    ========  =====================================
+    4         4,121
+    8         2,101,377,441
+    16        ~2.3e23
+    ========  =====================================
+
+    ``d`` is a u16 (reference src/lib.rs Parameters), so u8 division
+    exceeds the representable parameter field by five orders of
+    magnitude (and its ciphertext degree would be ~1e9 - petabyte
+    ciphertexts - even under an S(0)=0 key where correctness holds
+    beyond the envelope; NOISE.md section 6).  Documentation-grade:
+    this replay exists to pin the impossibility, not to gate a circuit.
+    """
+    D0 = fresh_noise_degree(delta)
+    r = [0] * n  # remainder starts as trivial zeros (degree 0)
+    worst = 0
+    for _step in range(n):
+        t = r[-1]  # shifted-out top bit joins the >= decision via OR
+        r = [D0] + r[:-1]  # shift left; LSB = next fresh dividend bit
+        # tree compare lt(R, D): seeds lt_i = ~r_i*d_i, eq_i affine
+        lt = [r[i] + D0 for i in range(n)]
+        eq = [max(r[i], D0) for i in range(n)]
+        while len(lt) > 1:
+            half = len(lt) // 2
+            nlt = [max(lt[2 * j + 1], eq[2 * j + 1] + lt[2 * j]) for j in range(half)]
+            neq = [eq[2 * j + 1] + eq[2 * j] for j in range(half)]
+            if len(lt) % 2:
+                nlt.append(lt[-1])
+                neq.append(eq[-1])
+            lt, eq = nlt, neq
+        ge = t + lt[0]  # OR(t, ~lt): a*b term dominates; NOT is affine
+        # R - D: ripple subtract (add of ~D with trivial carry-in one)
+        sub = []
+        c: int | None = 0  # carry-in one(): degree 0
+        for i in range(n):
+            x = max(r[i], D0)
+            sub.append(max(x, c))
+            if i + 1 < n:
+                g = r[i] + D0
+                m = x + g
+                c = max(g, m + c)
+        # conditional restore: r_i' = r_i ^ ge*(r_i ^ sub_i)
+        r = [max(r[i], ge + max(r[i], sub[i])) for i in range(n)]
+        worst = max(worst, ge, max(r))
+    return worst
 
 
 def required_ratio(noise_at_delta1: int) -> int:

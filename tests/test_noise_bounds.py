@@ -137,3 +137,20 @@ class TestCheckedApiUsesExactBounds:
         ctx.generate_public_key()
         a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(7, hm.U8)
         assert ctx.decrypt(ctx.apply2(HomomorphicMultiplication, a, b)) == 42
+
+
+class TestDivisionInfeasibility:
+    """NOISE.md section 6: division's replayed bounds pin the reason no
+    HomomorphicDivision ships - the values below ARE the claim."""
+
+    def test_replayed_bounds(self):
+        assert noise.div_noise_degree(4, 1) == 4_120
+        assert noise.div_noise_degree(8, 1) == 2_101_377_440
+
+    def test_u8_exceeds_representable_parameters(self):
+        # d is a u16: no valid Parameters can satisfy the u8 division
+        # requirement even at delta=1
+        assert noise.required_ratio(noise.div_noise_degree(8, 1)) > 0xFFFF
+
+    def test_monotone_in_delta(self):
+        assert noise.div_noise_degree(8, 2) > noise.div_noise_degree(8, 1)
