@@ -833,6 +833,29 @@ def _pp_bits(
     return {i * n + j: pp[i][j] for i in range(n) for j in range(n - i)}
 
 
+def _pp_lanes(
+    a: Sequence[CipheredBit], b: Sequence[CipheredBit], length: int
+) -> "list[list[CipheredBit | None]]":
+    """The wrapping-relevant partial products (i + j < length) of two
+    lane lists, batched through :func:`_batched_clmul_pairs` - one
+    grouped clmul dispatch per distinct limb-count pair instead of
+    ~n^2/2 separate ``and_`` dispatches.  Entries with i + j >= length
+    wrap away and are never computed (None)."""
+    pairs = [
+        (a[i], b[j], (i, j))
+        for i in range(length)
+        for j in range(length - i)
+    ]
+    prods = _batched_clmul_pairs(pairs)
+    pp: list[list[CipheredBit | None]] = [
+        [None] * length for _ in range(length)
+    ]
+    for key, p in prods.items():
+        i, j = key
+        pp[i][j] = _fit_bit(p)
+    return pp
+
+
 def mul_unsigned_lanes(
     a: Sequence[CipheredBit], b: Sequence[CipheredBit]
 ) -> list[CipheredBit]:
@@ -844,7 +867,7 @@ def mul_unsigned_lanes(
     surface (src/cipher.rs:253-259 Deref semantics).
     """
     length = len(a)
-    pp = [[a[i].and_(b[j]) for j in range(length)] for i in range(length)]
+    pp = _pp_lanes(a, b, length)
     batch = a[0].batch_shape if length else ()
     if length >= _csaplan.TREE_MIN_WIDTH:
         return _csa_accumulate(_pp_bits(pp, length), _csaplan.csa_plan(length), batch)
@@ -907,7 +930,7 @@ def mul_signed_lanes(
     ``pp[n-1][0]`` before accumulation (common.rs:115-155) - feed the same
     width-dispatched accumulation as :func:`mul_unsigned_lanes`."""
     length = len(a)
-    pp = [[a[i].and_(b[j]) for j in range(length)] for i in range(length)]
+    pp = _pp_lanes(a, b, length)
     pp[0][length - 1] = pp[0][length - 1].not_()
     pp[length - 1][0] = pp[length - 1][0].not_()
     batch = a[0].batch_shape if length else ()
