@@ -136,7 +136,9 @@ def main() -> None:
     else:
         from homomorph_tpu.verify import run_verification
 
-        run_verification(quick=args.quick, log=log)
+        run_verification(
+            quick=args.quick, log=log, scaled=not args.skip_scaled
+        )
 
     params = hm.Parameters(128, 128, 64, 128)
     ctx = hm.Context(params, source=hm.ThreefrySource(0))

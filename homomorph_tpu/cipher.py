@@ -345,7 +345,13 @@ class Ciphered:
             limbs = limbs[0]
         return cls(limbs, bound, desc)
 
-    try_cipher = cipher  # error surface is exceptions either way
+    # DELIBERATE parity delta vs the reference's fallible/panicking split
+    # (src/cipher.rs:153-208): Rust needs distinct `try_cipher -> Result`
+    # and `cipher -> panic` entry points because panics are not a typed
+    # error surface there.  In Python exceptions ARE the typed error
+    # surface (SerializeError/CipherError subclasses), so both names bind
+    # one implementation; `try_*` exists so reference code ports verbatim.
+    try_cipher = cipher
 
     @classmethod
     def trivial(
@@ -416,7 +422,7 @@ class Ciphered:
         out[:] = values
         return out.reshape(self.batch_shape)
 
-    try_decipher = decipher
+    try_decipher = decipher  # deliberate alias — see try_cipher note above
 
     def decipher_bits(self, sk: SecretKey) -> np.ndarray:
         """Decrypt to raw plaintext bits [*batch, n_bits] without decoding."""

@@ -242,13 +242,17 @@ class BoolDescriptor(TypeDescriptor):
         return data == b"\x01"
 
     def encode_batch(self, values: Sequence[Any]) -> bytes:
+        # same strictness as the scalar path: only bool/integer elements.
+        # np.asarray dtype kinds: 'b' = bool, 'iu' = ints; anything else
+        # (floats, objects holding containers, strings) takes the
+        # per-value path so [0.5] raises exactly like 0.5 does.
         try:
             raw = np.asarray(values)
         except (TypeError, ValueError):
             return super().encode_batch(values)
-        if raw.ndim != 1:
+        if raw.ndim != 1 or raw.dtype.kind not in "biu":
             return super().encode_batch(values)  # per-value errors
-        return np.asarray([bool(v) for v in values], dtype=np.uint8).tobytes()
+        return (raw != 0).astype(np.uint8).tobytes()
 
     def decode_batch(self, rows: "np.ndarray") -> list:
         flat = np.ascontiguousarray(rows, dtype=np.uint8).reshape(len(rows))

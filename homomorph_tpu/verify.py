@@ -230,14 +230,52 @@ def _check_circuits(failures: list[str], log, with_mul: bool) -> None:
         log(f"verify: u8 mul ok ({B} random operand pairs)")
 
 
-def run_verification(quick: bool = False, log=None) -> None:
+def _check_roundtrip_scaled(failures: list[str], log) -> None:
+    """Encrypt -> decrypt round-trip at the SCALED config (d=dp=1024,
+    tau=256) with nonzero plaintexts - the correctness gate in front of
+    bench.py's scaled_1024_* numbers (round-3 verdict item 8: those
+    timings previously ran with no assert at this config)."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import Context, Parameters
+    from .gf2 import poly as gf2
+    from .gf2.encrypt_kernel import encrypt_bits_fused
+
+    params = Parameters(1024, 1024, 64, 256)
+    ctx = Context(params, encrypt_seed=0x5CA1ED)
+    ctx.generate_secret_key()
+    ctx.generate_public_key()
+    pk, sk = ctx.get_public_key(), ctx.get_secret_key()
+
+    rng = np.random.default_rng(17)
+    B = 4096
+    plain = rng.integers(0, 2, size=B, dtype=np.uint32)
+    L = gf2.limbs_for(params.pk_degree)
+    W = -(-params.tau // 32)
+    selw = jax.random.bits(jax.random.key(5), (B, W), dtype=jnp.uint32)
+    ct = encrypt_bits_fused(selw, pk.bit_planes(), jnp.asarray(plain), L)
+    bits = np.asarray(gf2.decipher_bits(ct, sk.decrypt_mask(L)))
+    if not (bits == plain).all():
+        n_bad = int((bits != plain).sum())
+        failures.append(
+            f"SCALED d=dp=1024 tau=256 round-trip: {n_bad}/{B} bits wrong"
+        )
+    else:
+        log(f"verify: scaled d=dp=1024 tau=256 round-trip ok ({B} bits)")
+
+
+def run_verification(quick: bool = False, log=None, scaled: bool = True) -> None:
     """Run every on-device correctness check; raise
     :class:`VerificationError` listing all failures.
 
     ``quick=True`` skips the multiplier circuit (its first compile is the
-    expensive one); everything else always runs.  There is no soft-fail
-    mode: callers that want to skip must do so explicitly (bench.py honors
-    ``HOMOMORPH_TPU_SKIP_VERIFY=1`` and says so on stderr).
+    expensive one); everything else always runs.  ``scaled=False`` skips
+    the d=dp=1024 round-trip - callers that will not time the scaled
+    config (bench.py --quick / --skip-scaled) may omit its keygen cost.
+    There is no soft-fail mode: callers that want to skip must do so
+    explicitly (bench.py honors ``HOMOMORPH_TPU_SKIP_VERIFY=1`` and says
+    so on stderr).
     """
     if log is None:
         def log(*a):  # pragma: no cover - default stderr logger
@@ -250,6 +288,8 @@ def run_verification(quick: bool = False, log=None) -> None:
     _check_golden_vectors(failures, log)
     _check_roundtrip(failures, log)
     _check_circuits(failures, log, with_mul=not quick)
+    if scaled and not quick:
+        _check_roundtrip_scaled(failures, log)
     if failures:
         raise VerificationError(
             "on-device verification FAILED:\n  - " + "\n  - ".join(failures)

@@ -67,6 +67,48 @@ def main() -> None:
         want = bits[shard.index[0]]
         assert (got == want).all(), (pid, shard.index, got, want)
 
+    # limb-sharded clmul whose ppermute boundary exchange crosses the
+    # process boundary (round-3 verdict item 3): a 1-D "limb" mesh over
+    # ALL global devices - shards 0..1 live on process 0, 2..3 on
+    # process 1, so the one-hop spill at shard 1->2 rides the DCN
+    # analogue.  Checked row-by-row against the big-int oracle.
+    from jax.sharding import Mesh
+    from homomorph_tpu.parallel import limbmul
+
+    limb_mesh = Mesh(np.array(jax.devices()), ("limb",))
+    rng2 = np.random.default_rng(11)
+    Bc, La, Lb = 2, 64, 4
+    a = rng2.integers(0, 1 << 32, size=(Bc, La), dtype=np.uint32)
+    bsmall = rng2.integers(0, 1 << 32, size=(Bc, Lb), dtype=np.uint32)
+    prod = limbmul.sharded_clmul(
+        jax.numpy.asarray(a), jax.numpy.asarray(bsmall), limb_mesh
+    )
+
+    def _int(v):
+        return int.from_bytes(np.ascontiguousarray(v).astype("<u4").tobytes(),
+                              "little")
+
+    want_rows = np.zeros((Bc, La + Lb), dtype=np.uint32)
+    for i in range(Bc):
+        ai, bi, r = _int(a[i]), _int(bsmall[i]), 0
+        while bi:
+            low = bi & -bi
+            r ^= ai << (low.bit_length() - 1)
+            bi ^= low
+        want_rows[i] = np.frombuffer(
+            r.to_bytes(4 * (La + Lb), "little"), dtype=np.uint32
+        )
+    # the product is limb-sharded across processes: each process checks
+    # its ADDRESSABLE limb slices against the oracle
+    n_checked = 0
+    for shard in prod.addressable_shards:
+        got = np.asarray(shard.data)
+        assert (got == want_rows[shard.index]).all(), (
+            f"sharded clmul shard {shard.index} wrong on pid {pid}"
+        )
+        n_checked += 1
+    assert n_checked > 0
+
     print(f"MULTIHOST OK pid={pid} devices={n_global}", flush=True)
 
 

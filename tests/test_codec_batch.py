@@ -55,6 +55,23 @@ class TestErrorSemantics:
         with pytest.raises(hm.DeserializeError, match="bool"):
             codec.Bool.decode_batch(np.array([[2]], dtype=np.uint8))
 
+    def test_bool_batch_strict_like_scalar(self):
+        # round-3 verdict: [0.5] must raise exactly like scalar 0.5 does
+        # (the batch path used to truthiness-coerce floats/containers)
+        with pytest.raises(hm.SerializeError, match="bool"):
+            codec.Bool.encode_batch([0.5])
+        with pytest.raises(hm.SerializeError, match="bool"):
+            codec.Bool.encode_batch([True, 1.0])
+        with pytest.raises(hm.SerializeError, match="bool"):
+            codec.Bool.encode_batch([[False]])  # container, bool(...) is True
+        with pytest.raises(hm.SerializeError, match="bool"):
+            codec.Bool.encode_batch(["yes"])
+        # integer inputs (scalar path accepts them) still take the fast path
+        assert codec.Bool.encode_batch([0, 1, 2]) == b"\x00\x01\x01"
+        assert codec.Bool.encode_batch(
+            np.array([1, 0], dtype=np.int64)
+        ) == b"\x01\x00"
+
 
 class TestEndToEnd:
     def test_batched_cipher_uses_fast_path(self):

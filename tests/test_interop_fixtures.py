@@ -2,14 +2,34 @@
 
 ``tests/fixtures/interop_v1.json`` records, for several parameter sets: a
 full randomness stream, the expected secret/public key bytes, and expected
-ciphertext polynomial bytes.  PROVENANCE: generated once by
-``tests/fixtures/generate_interop.py`` from the independent big-int oracle
-(tests/oracle.py) because cargo/rustc are unavailable in this environment;
-the oracle's arithmetic is pinned to the Rust crate's hand-computed inline
-vectors (src/polynomial.rs:522-591, ported in test_poly_golden.py) and the
-byte formats follow src/polynomial.rs:98-122 / src/context.rs:153-155,
-239-245 exactly.  If the real crate ever disagrees with these bytes, the
-fixture file - not the tests - is what must change.
+ciphertext polynomial bytes.
+
+PROVENANCE (round-3 verdict item 4 asked for this to be explicit):
+
+* The Rust crate CANNOT be executed here: no rustc/cargo/rustup on disk,
+  no apt package source, zero network egress - the actual attempt (tool
+  search, rustup fetch, pip fallback) is logged verbatim in
+  ``tests/fixtures/BUILD_ATTEMPT.log``.  The end-to-end claim is therefore
+  "matches the reference's *documented and inline-tested* byte formats",
+  not "diffed against crate output".
+* The fixtures were generated once by ``tests/fixtures/generate_interop.py``
+  from the big-int oracle (tests/oracle.py), whose arithmetic is pinned to
+  the crate's hand-computed inline vectors (src/polynomial.rs:522-591,
+  ported in test_poly_golden.py) and whose byte formats follow
+  src/polynomial.rs:98-122 / src/context.rs:153-155, 239-245.  The key
+  byte vectors at src/context.rs:615-635 are ported in
+  test_keys_context.py.
+* De-circularization: ``TestNativeReplay`` below replays the SAME recorded
+  stream through the independent C++ word-loop engine
+  (homomorph_tpu/native/gf2_native.cpp) - a third implementation, sharing
+  no arithmetic code with either the oracle (Python big ints) or the
+  production path (JAX/XLA) - and requires bit-identical key AND
+  ciphertext bytes plus correct native decryption.  A shared misreading
+  of the reference would now have to be made three times independently.
+* If a future environment has cargo: regenerate with the real crate and
+  diff - the format is designed to make that a drop-in swap.  If the
+  crate ever disagrees with these bytes, the fixture file - not the
+  tests - is what must change.
 
 The tests prove: keys serialized by "the other implementation" load through
 ``SecretKey.from_bytes`` / ``PublicKey.from_bytes``; regenerating from the
@@ -88,6 +108,71 @@ class TestKeyByteInterop:
                 jax.numpy.asarray(limbs), desc, bound=p["d"] + p["dp"]
             )
             assert c.decipher(sk) == bytes.fromhex(pt_hex)
+
+    def test_native_replay_reproduces_fixture_bytes(self, case):
+        """Third-implementation check: the C++ word-loop engine replays the
+        recorded stream to the same key and ciphertext bytes, and its
+        shift-XOR `rem` decrypts them (see module docstring, provenance).
+
+        Random draws reuse rng.py's byte->limb staging (pure formatting,
+        itself pinned by the fixture key bytes); every ARITHMETIC step -
+        S*Q_i, X*R_i, the subset-XOR sum, the decrypt remainder - runs in
+        native C++."""
+        from homomorph_tpu import native, rng as _rng
+
+        if not native.available():
+            pytest.skip("native library unavailable and no compiler")
+        p = case["params"]
+        d, dp, delta, tau = p["d"], p["dp"], p["delta"], p["tau"]
+        src = hm.RecordedSource(bytes.fromhex(case["stream_hex"]))
+
+        def pad_to(a, L):
+            # clmul returns La+Lb limbs; anything beyond the degree-bound
+            # window must be zero
+            assert not a[L:].any()
+            out = np.zeros(L, dtype=np.uint32)
+            out[: min(a.size, L)] = a[:L]
+            return out
+
+        def assert_bytes_eq(got: bytes, want: bytes):
+            n = max(len(got), len(want))
+            assert got.ljust(n, b"\0") == want.ljust(n, b"\0")
+
+        sk = _rng.random_poly_limbs(src, d)
+        assert_bytes_eq(
+            gf2.limbs_to_bytes(sk), bytes.fromhex(case["secret_key_hex"])
+        )
+        L_t = gf2.limbs_for(d + dp)  # T_i degree <= d + dp
+        x1 = np.array([0b10], dtype=np.uint32)  # the monomial X
+        pk_rows = np.zeros((tau, L_t), dtype=np.uint32)
+        for i in range(tau):
+            q = _rng.random_poly_limbs(src, dp)
+            r = _rng.random_poly_limbs(src, delta)
+            sq = native.clmul(sk, q)          # S * Q_i
+            rx = native.clmul(r, x1)          # X * R_i
+            pk_rows[i] = pad_to(sq, L_t) ^ pad_to(rx, L_t)
+        for got_row, want_hex in zip(pk_rows, case["public_key_hex"]):
+            assert_bytes_eq(gf2.limbs_to_bytes(got_row), bytes.fromhex(want_hex))
+
+        for pt_hex, ct_hexes in zip(case["plaintexts_hex"],
+                                    case["ciphertexts_hex"]):
+            pt = bytes.fromhex(pt_hex)
+            bits = np.unpackbits(
+                np.frombuffer(pt, np.uint8), bitorder="little"
+            )
+            sel = np.stack(
+                [_rng.random_selection_bits(src, tau) for _ in bits]
+            )
+            ct = native.encrypt_batch(pk_rows, sel, bits)
+            for got_row, want_hex in zip(ct, ct_hexes):
+                assert_bytes_eq(
+                    gf2.limbs_to_bytes(got_row), bytes.fromhex(want_hex)
+                )
+            # native shift-XOR decrypt (independent of the linear map)
+            dec = np.array(
+                [native.rem(row, sk, d)[0] & 1 for row in ct], dtype=np.uint8
+            )
+            assert np.array_equal(dec, bits)
 
     def test_our_encryption_reproduces_fixture_ciphertext_bytes(self, case):
         p = case["params"]

@@ -22,6 +22,14 @@ def test_oracle_helpers():
     assert (V._int_to_limbs(V._limbs_to_int(row), 2) == row).all()
 
 
+@pytest.mark.slow
+def test_scaled_roundtrip_check_passes():
+    # the d=dp=1024 tau=256 gate (round-3 verdict item 8) on this backend
+    failures = []
+    V._check_roundtrip_scaled(failures, lambda *a: None)
+    assert failures == []
+
+
 def test_failure_is_loud(monkeypatch):
     # sabotage the golden-vector check's expectation path by patching the
     # oracle; the gate must raise VerificationError, not warn
