@@ -76,12 +76,26 @@ def run(width: str):
     req = HomomorphicMultiplication.requirement_for(a, b)
     assert d // mp.delta >= req, (d, req)
 
-    @jax.jit
-    def mul_step(al, bl):
-        return circuits.mul_unsigned(
-            hm.Ciphered(al, mp.pk_degree, desc),
-            hm.Ciphered(bl, mp.pk_degree, desc),
-        ).limbs
+    import os
+
+    eager = os.environ.get("EXP_MUL_EAGER", "0") == "1"
+    if eager:
+        # eager mode: every gate dispatches its own (persistently cached)
+        # kernel, so a killed run's compile work survives to the next one -
+        # the one-big-jit program below only lands in the cache when its
+        # full multi-hour compile completes.
+        def mul_step(al, bl):
+            return circuits.mul_unsigned(
+                hm.Ciphered(al, mp.pk_degree, desc),
+                hm.Ciphered(bl, mp.pk_degree, desc),
+            ).limbs
+    else:
+        @jax.jit
+        def mul_step(al, bl):
+            return circuits.mul_unsigned(
+                hm.Ciphered(al, mp.pk_degree, desc),
+                hm.Ciphered(bl, mp.pk_degree, desc),
+            ).limbs
 
     t0 = time.perf_counter()
     prod_limbs = mul_step(a.limbs, b.limbs)

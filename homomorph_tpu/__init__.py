@@ -94,7 +94,7 @@ from .utils.errors import (  # noqa: F401
     SerializeError,
 )
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "Parameters",

@@ -124,38 +124,56 @@ def _random_selection(key: jax.Array, shape: tuple[int, ...], tau: int) -> jax.A
 # --------------------------------------------------------------------------
 
 
+#: Normalized (delta=1) worst-case noise degree of a FRESH ciphertext:
+#: ``delta + 1`` evaluated at delta=1.  Noise bounds are tracked in these
+#: normalized units on every ciphertext; the checked API's requirement is
+#: ``tracked + 1`` (models/noise.py::required_ratio soundness argument -
+#: every tracked value is a max/+ composition of fresh seeds, and
+#: ``seed(delta) = delta + 1 <= 2 * delta`` makes delta=1 the binding case).
+FRESH_NOISE = 2
+
+
 class CipheredBit:
     """One encrypted bit - a GF(2) polynomial (reference: src/cipher.rs:26-123).
 
     May carry leading batch dimensions: ``limbs`` has shape [*batch, L].
     ``bound`` is the static degree-class bound (replaces the reference's
     dynamic per-polynomial ``degree`` field for shape purposes; the exact
-    degree is available via :meth:`degree`).
+    degree is available via :meth:`degree`).  ``noise`` is the worst-case
+    NOISE degree in normalized delta=1 units (see :data:`FRESH_NOISE`),
+    propagated through gates with the same degree algebra as ``bound``
+    (xor -> max, and -> sum); the checked API consumes it so composed
+    ciphertexts keep a sound correctness envelope.
     """
 
-    __slots__ = ("limbs", "bound")
+    __slots__ = ("limbs", "bound", "noise")
 
-    def __init__(self, limbs: jax.Array, bound: int):
+    def __init__(self, limbs: jax.Array, bound: int, noise: int = FRESH_NOISE):
         self.limbs = limbs
         self.bound = int(bound)
+        self.noise = int(noise)
 
     # -- trivial ciphertexts (src/cipher.rs:33-51) --------------------------
 
     @classmethod
     def zero(cls, batch: tuple[int, ...] = ()) -> "CipheredBit":
-        return cls(gf2.null(1, batch), 0)
+        return cls(gf2.null(1, batch), 0, noise=0)
 
     @classmethod
     def one(cls, batch: tuple[int, ...] = ()) -> "CipheredBit":
         m = gf2.monomial(0)
         if batch:
             m = jnp.broadcast_to(m, batch + (1,))
-        return cls(m, 0)
+        return cls(m, 0, noise=0)
 
     # -- gates (src/cipher.rs:53-90) ----------------------------------------
 
     def xor(self, other: "CipheredBit") -> "CipheredBit":
-        return CipheredBit(gf2.xor(self.limbs, other.limbs), max(self.bound, other.bound))
+        return CipheredBit(
+            gf2.xor(self.limbs, other.limbs),
+            max(self.bound, other.bound),
+            noise=max(self.noise, other.noise),
+        )
 
     def and_(self, other: "CipheredBit") -> "CipheredBit":
         prod = gf2k.clmul(self.limbs, other.limbs)
@@ -163,7 +181,9 @@ class CipheredBit:
         # Degree-class quantization: keep the static shape universe small
         # so repeated circuit steps hit the XLA compile cache.
         return CipheredBit(
-            gf2.fit_limbs(prod, gf2.bucket(gf2.limbs_for(bound))), bound
+            gf2.fit_limbs(prod, gf2.bucket(gf2.limbs_for(bound))),
+            bound,
+            noise=self.noise + other.noise,
         )
 
     def or_(self, other: "CipheredBit") -> "CipheredBit":
@@ -172,7 +192,9 @@ class CipheredBit:
 
     def not_(self) -> "CipheredBit":
         # xor with the unit polynomial (src/cipher.rs:83-90)
-        return CipheredBit(gf2.xor_const_bit(self.limbs, 1), self.bound)
+        return CipheredBit(
+            gf2.xor_const_bit(self.limbs, 1), self.bound, noise=self.noise
+        )
 
     # alias matching the reference's method names
     __xor__ = xor
@@ -198,10 +220,15 @@ class CipheredBit:
         return _decrypt_core(self.limbs, sk.decrypt_mask(self.num_limbs))
 
     def pad_to(self, num_limbs: int) -> "CipheredBit":
-        return CipheredBit(gf2.pad_limbs(self.limbs, num_limbs), self.bound)
+        return CipheredBit(
+            gf2.pad_limbs(self.limbs, num_limbs), self.bound, noise=self.noise
+        )
 
     def __repr__(self) -> str:
-        return f"CipheredBit(batch={self.batch_shape}, L={self.num_limbs}, bound={self.bound})"
+        return (
+            f"CipheredBit(batch={self.batch_shape}, L={self.num_limbs}, "
+            f"bound={self.bound}, noise={self.noise})"
+        )
 
 
 # --------------------------------------------------------------------------
@@ -222,9 +249,15 @@ class Ciphered:
     src/polynomial.rs:404-426 lifted to the lane axis).  Compare/eq
     results carry 7 such lanes (a bincode bool is one byte, bit 0 =
     value), so decipher-after-compare reads 1/8 the bytes.
+    ``noise``: worst-case noise degree over all lanes, in normalized
+    delta=1 units (:data:`FRESH_NOISE`); stamped by every shipped circuit
+    and consumed by the checked API so the correctness envelope stays
+    sound under COMPOSITION (applying ops to results of previous ops) -
+    a guarantee the reference's static per-op constants cannot give
+    (src/impls/numbers.rs:27-50).
     """
 
-    __slots__ = ("limbs", "bound", "desc", "zero_lanes")
+    __slots__ = ("limbs", "bound", "desc", "zero_lanes", "noise")
 
     def __init__(
         self,
@@ -232,6 +265,7 @@ class Ciphered:
         bound: int,
         desc: _codec.TypeDescriptor,
         zero_lanes: int = 0,
+        noise: int = FRESH_NOISE,
     ):
         if limbs.ndim < 2:
             raise ValueError("Ciphered limbs must be at least [n_bits, L]")
@@ -241,6 +275,7 @@ class Ciphered:
         self.bound = int(bound)
         self.desc = desc
         self.zero_lanes = int(zero_lanes)
+        self.noise = int(noise)
 
     # -- construction --------------------------------------------------------
 
@@ -315,7 +350,7 @@ class Ciphered:
             limbs = bulk.sharded_encrypt_bits(
                 sharding, sel, pk.bit_planes(), jnp.asarray(all_bits), L
             )
-            return cls(limbs, bound, desc)
+            return cls(limbs, bound, desc, noise=FRESH_NOISE)
 
         if key is not None and total % 128 == 0:
             # Fused Pallas path: packed selection words straight into the
@@ -343,7 +378,7 @@ class Ciphered:
 
         if not batch:
             limbs = limbs[0]
-        return cls(limbs, bound, desc)
+        return cls(limbs, bound, desc, noise=FRESH_NOISE)
 
     # DELIBERATE parity delta vs the reference's fallible/panicking split
     # (src/cipher.rs:153-208): Rust needs distinct `try_cipher -> Result`
@@ -379,28 +414,33 @@ class Ciphered:
         limbs = jnp.asarray(bits.astype(np.uint32))[..., None]  # [B, n, 1]
         if not batch:
             limbs = limbs[0]
-        return cls(limbs, 0, desc)
+        return cls(limbs, 0, desc, noise=0)
 
     @classmethod
     def new_from_raw(
         cls, bits: "Sequence[CipheredBit] | jax.Array", desc: _codec.TypeDescriptor,
-        bound: int | None = None,
+        bound: int | None = None, noise: int | None = None,
     ) -> "Ciphered":
         """Assemble from raw ciphered bits (reference: src/cipher.rs:133-151).
 
         The caller vouches that the bits are valid ciphertexts; this is the
         extension surface for custom operations (examples/simple_struct.rs).
         Accepts a list of :class:`CipheredBit` lanes (padded to the max
-        degree class and stacked) or a pre-stacked limb tensor.
+        degree class and stacked - their tracked ``noise`` carries over as
+        the lane-wise worst) or a pre-stacked limb tensor (``noise``
+        defaults to fresh; pass the composed value for non-fresh lanes so
+        the checked API keeps its envelope guarantee).
         """
         if isinstance(bits, (list, tuple)):
             L = max(b.num_limbs for b in bits)
             stacked = jnp.stack([b.pad_to(L).limbs for b in bits], axis=-2)
             bnd = max(b.bound for b in bits) if bound is None else bound
-            return cls(stacked, bnd, desc)
+            nz = max(b.noise for b in bits) if noise is None else noise
+            return cls(stacked, bnd, desc, noise=nz)
         if bound is None:
             raise ValueError("bound= is required when passing a raw limb tensor")
-        return cls(bits, bound, desc)
+        return cls(bits, bound, desc,
+                   noise=FRESH_NOISE if noise is None else noise)
 
     # -- decryption ----------------------------------------------------------
 
@@ -461,7 +501,7 @@ class Ciphered:
             raise IndexError(i)
         if i >= n_phys:
             return CipheredBit.zero(self.batch_shape)
-        return CipheredBit(self.limbs[..., i, :], self.bound)
+        return CipheredBit(self.limbs[..., i, :], self.bound, noise=self.noise)
 
     def densify(self) -> "Ciphered":
         """Materialize the implicit trailing zero lanes as physical lanes
@@ -474,7 +514,8 @@ class Ciphered:
             dtype=self.limbs.dtype,
         )
         return Ciphered(
-            jnp.concatenate([self.limbs, z], axis=-2), self.bound, self.desc
+            jnp.concatenate([self.limbs, z], axis=-2), self.bound, self.desc,
+            noise=self.noise,
         )
 
     def bits(self) -> list[CipheredBit]:
@@ -495,7 +536,8 @@ class Ciphered:
             raise ValueError(
                 f"{desc!r} needs {desc.num_bits} lanes, have {len(self)}"
             )
-        return Ciphered(self.limbs, self.bound, desc, zero_lanes=self.zero_lanes)
+        return Ciphered(self.limbs, self.bound, desc, zero_lanes=self.zero_lanes,
+                        noise=self.noise)
 
     # -- ciphertext serialization (gap in the reference; added here) ---------
 
@@ -505,13 +547,16 @@ class Ciphered:
     #: versioned from day one so layout evolution is detectable
     #: (format-evolution notes in DESIGN.md).
     WIRE_MAGIC = 0x54434D48
-    WIRE_VERSION = 1
+    WIRE_VERSION = 2  # v2 appends the tracked noise bound to the header
 
     def to_bytes(self) -> bytes:
         """Serialize ciphertext: u32 header (magic, version, n_bits,
-        zero_lanes, L, bound, batch rank + dims) then LE limbs.  The
+        zero_lanes, L, bound, noise, batch rank + dims) then LE limbs.  The
         reference has no ciphertext serializer (noted gap - SURVEY §5.4);
-        the per-polynomial byte format matches src/polynomial.rs:98-105."""
+        the per-polynomial byte format matches src/polynomial.rs:98-105.
+        Version 2 added the tracked noise bound (format-evolution notes in
+        DESIGN.md §8); version-1 buffers still load (noise assumed fresh,
+        matching what every v1 writer produced)."""
         host = np.asarray(jax.device_get(self.limbs), dtype=np.uint32)
         bshape = self.batch_shape
         header = np.array(
@@ -522,6 +567,7 @@ class Ciphered:
                 self.zero_lanes,
                 self.num_limbs,
                 self.bound,
+                self.noise,
                 len(bshape),
                 *bshape,
             ],
@@ -529,30 +575,41 @@ class Ciphered:
         )
         return header.tobytes() + host.astype("<u4").tobytes()
 
-    _WIRE_HEAD = 28  # 7 fixed u32 fields before the batch dims
+    _WIRE_HEAD_V1 = 28  # 7 fixed u32 fields before the batch dims
+    _WIRE_HEAD = 32  # v2: + noise field
 
     @classmethod
     def from_bytes(cls, data: bytes, desc: _codec.TypeDescriptor) -> "Ciphered":
         """Deserialize; the buffer is untrusted input, so the header is
         fully validated (magic, version, sizes, rank, width-vs-desc)
         before any reshape."""
-        H = cls._WIRE_HEAD
-        if len(data) < H or len(data) % 4:
+        if len(data) < cls._WIRE_HEAD_V1 or len(data) % 4:
             raise DeserializeError(
                 f"ciphertext buffer too short or misaligned ({len(data)} bytes)"
             )
-        head = np.frombuffer(data[:H], dtype="<u4")
-        magic, version, n_bits, zero_lanes, L, bound, rank = (int(x) for x in head)
+        magic, version = (
+            int(x) for x in np.frombuffer(data[:8], dtype="<u4")
+        )
         if magic != cls.WIRE_MAGIC:
             raise DeserializeError(
                 f"not a homomorph_tpu ciphertext (magic 0x{magic:08x}, "
                 f"expected 0x{cls.WIRE_MAGIC:08x})"
             )
-        if version != cls.WIRE_VERSION:
+        if version not in (1, 2):
             raise DeserializeError(
                 f"unsupported ciphertext wire version {version} "
-                f"(this build reads version {cls.WIRE_VERSION})"
+                f"(this build reads versions 1-{cls.WIRE_VERSION})"
             )
+        H = cls._WIRE_HEAD if version == 2 else cls._WIRE_HEAD_V1
+        if len(data) < H:
+            raise DeserializeError("ciphertext buffer truncated in header")
+        head = np.frombuffer(data[8:H], dtype="<u4")
+        if version == 2:
+            n_bits, zero_lanes, L, bound, noise, rank = (int(x) for x in head)
+        else:  # v1 writers predate noise tracking; they only ever wrote
+            # fresh ciphertexts (circuits were applied in-session)
+            n_bits, zero_lanes, L, bound, rank = (int(x) for x in head)
+            noise = FRESH_NOISE
         if n_bits == 0 or L == 0 or rank > 8 or zero_lanes >= n_bits:
             raise DeserializeError(
                 f"corrupt ciphertext header: n_bits={n_bits}, "
@@ -575,10 +632,11 @@ class Ciphered:
                 f"{desc!r} expects {desc.num_bits} bit lanes, buffer has {n_bits}"
             )
         limbs = jnp.asarray(body.reshape(*bshape, n_phys, L))
-        return cls(limbs, bound, desc, zero_lanes=zero_lanes)
+        return cls(limbs, bound, desc, zero_lanes=zero_lanes, noise=noise)
 
     def __repr__(self) -> str:
         return (
             f"Ciphered<{self.desc.name}>(batch={self.batch_shape}, "
-            f"n_bits={len(self)}, L={self.num_limbs}, bound={self.bound})"
+            f"n_bits={len(self)}, L={self.num_limbs}, bound={self.bound}, "
+            f"noise={self.noise})"
         )

@@ -80,7 +80,8 @@ __all__ = [
 def gate_xor(a: Ciphered, b: Ciphered) -> Ciphered:
     a, b = a.densify(), b.densify()
     return Ciphered(
-        gf2.xor(a.limbs, b.limbs), max(a.bound, b.bound), a.desc
+        gf2.xor(a.limbs, b.limbs), max(a.bound, b.bound), a.desc,
+        noise=max(a.noise, b.noise),
     )
 
 
@@ -89,7 +90,8 @@ def gate_and(a: Ciphered, b: Ciphered) -> Ciphered:
     prod = gf2k.clmul(a.limbs, b.limbs)
     bound = a.bound + b.bound
     return Ciphered(
-        gf2.fit_limbs(prod, gf2.bucket(gf2.limbs_for(bound))), bound, a.desc
+        gf2.fit_limbs(prod, gf2.bucket(gf2.limbs_for(bound))), bound, a.desc,
+        noise=a.noise + b.noise,
     )
 
 
@@ -102,12 +104,14 @@ def gate_or(a: Ciphered, b: Ciphered) -> Ciphered:
         gf2.fit_limbs(gf2.xor(x, m), gf2.bucket(gf2.limbs_for(bound))),
         bound,
         a.desc,
+        noise=a.noise + b.noise,
     )
 
 
 def gate_not(a: Ciphered) -> Ciphered:
     a = a.densify()
-    return Ciphered(gf2.xor_const_bit(a.limbs, 1), a.bound, a.desc)
+    return Ciphered(gf2.xor_const_bit(a.limbs, 1), a.bound, a.desc,
+                    noise=a.noise)
 
 
 # --------------------------------------------------------------------------
@@ -136,13 +140,14 @@ def add_lanes(
     # c' = g ^ m*c with m = x*(g^1): polynomial-identical to the reference
     # recurrence but with one multiply on the sequential path (see add()).
     ms = [xs[i].and_(gs[i].not_()) for i in range(n)]
-    carry = carry_in or CipheredBit.zero(a[0].batch_shape if n else ())
+    carry: CipheredBit | None = carry_in
     out: list[CipheredBit] = []
     for i in range(n):
-        out.append(xs[i].xor(carry))
+        out.append(xs[i] if carry is None else xs[i].xor(carry))
         if i + 1 >= n:
             break
-        carry = gs[i].xor(ms[i].and_(carry))
+        # c' = g ^ m*c; with no carry yet, c' = g exactly (m * zero = 0)
+        carry = gs[i] if carry is None else gs[i].xor(ms[i].and_(carry))
     return out
 
 
@@ -183,17 +188,20 @@ def add(a: Ciphered, b: Ciphered, carry_in: CipheredBit | None = None) -> Cipher
     # n-1 sequential steps (profiled; PERF.md round-3 adder section).
     m_limbs = gf2k.clmul(x_all.limbs, gf2.xor_const_bit(g_all.limbs, 1))
     m_bound = x_all.bound + g_all.bound
+    m_noise = x_all.noise + g_all.noise
     m_limbs = gf2.fit_limbs(m_limbs, gf2.limbs_for(m_bound))
 
     n = len(a)
-    carry = carry_in or CipheredBit.zero(a.batch_shape)
+    carry: CipheredBit | None = carry_in
     if _use_carry_scan() and n >= 16:
         carries = _affine_carry_scan(
             g_all.limbs[..., : n - 1, :],
             g_all.bound,
             m_limbs[..., : n - 1, :],
             m_bound,
-            carry,
+            carry if carry is not None else CipheredBit.zero(a.batch_shape),
+            g_noise=g_all.noise,
+            m_noise=m_noise,
         )
         out = [x_all[i].xor(c) for i, c in enumerate(carries)]
         return Ciphered.new_from_raw(out, a.desc)
@@ -202,9 +210,14 @@ def add(a: Ciphered, b: Ciphered, carry_in: CipheredBit | None = None) -> Cipher
     gs = [g_all[i] for i in range(n)]
     out: list[CipheredBit] = []
     for i in range(n):
-        out.append(xs[i].xor(carry))
+        out.append(xs[i] if carry is None else xs[i].xor(carry))
         if i + 1 >= n:
             break
+        if carry is None:
+            # first step: c' = g exactly (m * zero = 0) - one fewer
+            # sequential clmul and the exact tracked noise
+            carry = gs[i]
+            continue
         # c' = g ^ m*c.  The carry stays degree-class bucketed (fully
         # exact widths would give ~31 distinct Mosaic kernel shapes per
         # chain - measured minutes of one-time compile on this host for a
@@ -213,8 +226,11 @@ def add(a: Ciphered, b: Ciphered, carry_in: CipheredBit | None = None) -> Cipher
         # costs zero extra kernels and saves 27% of the passes.
         prod = gf2k.clmul(m_limbs[..., i, :], carry.limbs)
         nb = max(g_all.bound, m_bound + carry.bound)
+        nn = max(g_all.noise, m_noise + carry.noise)
         Lc = gf2.bucket(gf2.limbs_for(nb))
-        carry = CipheredBit(gf2.xor(gf2.fit_limbs(prod, Lc), gs[i].limbs), nb)
+        carry = CipheredBit(
+            gf2.xor(gf2.fit_limbs(prod, Lc), gs[i].limbs), nb, noise=nn
+        )
     return Ciphered.new_from_raw(out, a.desc)
 
 
@@ -241,6 +257,8 @@ def _affine_carry_scan(
     m: "jnp.ndarray",
     m_bound: int,
     carry0: CipheredBit,
+    g_noise: int = 4,
+    m_noise: int = 6,
 ) -> list[CipheredBit]:
     """All carries of ``c_{p+1} = g_p ^ m_p * c_p`` via a blocked prefix scan.
 
@@ -264,8 +282,8 @@ def _affine_carry_scan(
     """
     P = g.shape[-2]
     K = _SCAN_BLOCK
-    Gp, gb = g, g_bound
-    Mp, mb = m, m_bound
+    Gp, gb, gn = g, g_bound, g_noise
+    Mp, mb, mn = m, m_bound, m_noise
 
     # -- phase 1: segmented Hillis-Steele scan over each K-block -----------
     r = 1
@@ -280,6 +298,8 @@ def _affine_carry_scan(
         M_pv = jnp.take(Mp, jnp.asarray(prev), axis=-2)
         new_gb = gb + mb
         new_mb = 2 * mb
+        new_gn = gn + mn
+        new_mn = 2 * mn
         Gn = gf2.xor(G_at, gf2k.clmul(M_at, G_pv))
         Mn = gf2k.clmul(M_at, M_pv)
         Lg = gf2.bucket(gf2.limbs_for(new_gb))
@@ -292,6 +312,7 @@ def _affine_carry_scan(
             gf2.fit_limbs(Mn, Lm)
         )
         gb, mb = new_gb, new_mb
+        gn, mn = new_gn, new_mn
         r *= 2
 
     # -- phase 2: sequential chain over block summaries ---------------------
@@ -302,8 +323,8 @@ def _affine_carry_scan(
     Cs: list[CipheredBit] = [carry0]  # carry entering each block
     for b in range(n_chain):
         e = (b + 1) * K - 1  # last position of block b
-        Gb = CipheredBit(Gp[..., e, :], gb)
-        Mb = CipheredBit(Mp[..., e, :], mb)
+        Gb = CipheredBit(Gp[..., e, :], gb, noise=gn)
+        Mb = CipheredBit(Mp[..., e, :], mb, noise=mn)
         Cs.append(Gb.xor(Mb.and_(Cs[-1])))
 
     # -- phase 3: batched fill of interior carries --------------------------
@@ -315,6 +336,7 @@ def _affine_carry_scan(
     Lc = max(c.num_limbs for c in entry)
     C_stack = jnp.stack([c.pad_to(Lc).limbs for c in entry], axis=-2)  # [..., nb, Lc]
     cb = max(c.bound for c in entry)
+    cn = max(c.noise for c in entry)
 
     pos = np.arange(n_blocks * K).reshape(n_blocks, K)[:, : K - 1]  # [nb, K-1]
     pos = np.minimum(pos, P - 1)  # clamp tail (duplicates are discarded)
@@ -326,6 +348,7 @@ def _affine_carry_scan(
     prod = gf2k.clmul(Msel, C_stack[..., :, None, :])  # [..., nb, K-1, *]
     fill = gf2.xor(Gsel, prod)
     fill_bound = max(gb, mb + cb)
+    fill_noise = max(gn, mn + cn)
     Lf = gf2.bucket(gf2.limbs_for(fill_bound))
     fill = gf2.fit_limbs(fill, Lf)
 
@@ -335,7 +358,10 @@ def _affine_carry_scan(
         if t == 0:
             out.append(Cs[b])
         else:
-            out.append(CipheredBit(fill[..., b, t - 1, :], fill_bound))
+            out.append(
+                CipheredBit(fill[..., b, t - 1, :], fill_bound,
+                            noise=fill_noise)
+            )
     return out
 
 
@@ -360,13 +386,17 @@ def _adder_carry_out(a: Ciphered, b: Ciphered, carry: CipheredBit) -> CipheredBi
     g_all = gate_and(a, b)
     m_limbs = gf2k.clmul(x_all.limbs, gf2.xor_const_bit(g_all.limbs, 1))
     m_bound = x_all.bound + g_all.bound
+    m_noise = x_all.noise + g_all.noise
     # exact-width m, bucketed carry - see add() for the rationale
     m_limbs = gf2.fit_limbs(m_limbs, gf2.limbs_for(m_bound))
     for i in range(len(a)):
         prod = gf2k.clmul(m_limbs[..., i, :], carry.limbs)
         nb = max(g_all.bound, m_bound + carry.bound)
+        nn = max(g_all.noise, m_noise + carry.noise)
         Lc = gf2.bucket(gf2.limbs_for(nb))
-        carry = CipheredBit(gf2.xor(gf2.fit_limbs(prod, Lc), g_all[i].limbs), nb)
+        carry = CipheredBit(
+            gf2.xor(gf2.fit_limbs(prod, Lc), g_all[i].limbs), nb, noise=nn
+        )
     return carry
 
 
@@ -377,7 +407,8 @@ def _bool_out(bit: CipheredBit) -> Ciphered:
     IMPLICIT (``zero_lanes=7``) so only lane 0 is stored - decipher-after-
     compare reads 1/8 the bytes of a dense layout (the degree-trimmed
     storage discipline of src/polynomial.rs:404-426, on the lane axis)."""
-    return Ciphered(bit.limbs[..., None, :], bit.bound, _codec.Bool, zero_lanes=7)
+    return Ciphered(bit.limbs[..., None, :], bit.bound, _codec.Bool,
+                    zero_lanes=7, noise=bit.noise)
 
 
 def _is_signed(c: Ciphered) -> bool:
@@ -401,7 +432,8 @@ def _map_to_unsigned_order(a: Ciphered, b: Ciphered) -> tuple[Ciphered, Ciphered
 def _flip_top_bit(c: Ciphered) -> Ciphered:
     top = gf2.xor_const_bit(c.limbs[..., -1:, :], 1)
     return Ciphered(
-        jnp.concatenate([c.limbs[..., :-1, :], top], axis=-2), c.bound, c.desc
+        jnp.concatenate([c.limbs[..., :-1, :], top], axis=-2), c.bound, c.desc,
+        noise=c.noise,
     )
 
 
@@ -426,9 +458,11 @@ def _lt_tree(a: Ciphered, b: Ciphered) -> CipheredBit:
     na = gf2.xor_const_bit(a.limbs, 1)
     lt_l = gf2k.clmul(na, b.limbs)  # [..., n, 2L]
     lt_b = a.bound + b.bound
+    lt_n = a.noise + b.noise
     lt_l = gf2.fit_limbs(lt_l, gf2.bucket(gf2.limbs_for(lt_b)))
     eq_l = gf2.xor_const_bit(gf2.xor(a.limbs, b.limbs), 1)
     eq_b = max(a.bound, b.bound)
+    eq_n = max(a.noise, b.noise)
 
     n = lt_l.shape[-2]
     while n > 1:
@@ -438,12 +472,14 @@ def _lt_tree(a: Ciphered, b: Ciphered) -> CipheredBit:
         eq_lo, eq_hi = eq_l[..., 0::2, :][..., :half, :], eq_l[..., 1::2, :]
         prod = gf2k.clmul(eq_hi, lt_lo)
         new_lt_b = max(lt_b, eq_b + lt_b)
+        new_lt_n = max(lt_n, eq_n + lt_n)
         Ll = gf2.bucket(gf2.limbs_for(new_lt_b))
         lt_new = gf2.fit_limbs(
             gf2.xor(gf2.pad_limbs(lt_hi, prod.shape[-1]), prod), Ll
         )
         eq_new = gf2k.clmul(eq_hi, eq_lo)
         new_eq_b = 2 * eq_b
+        new_eq_n = 2 * eq_n
         eq_new = gf2.fit_limbs(eq_new, gf2.bucket(gf2.limbs_for(new_eq_b)))
         if n % 2:  # leftover (most-significant) lane passes through
             odd_lt = gf2.pad_limbs(lt_l[..., -1:, :], lt_new.shape[-1])
@@ -452,8 +488,9 @@ def _lt_tree(a: Ciphered, b: Ciphered) -> CipheredBit:
             eq_new = jnp.concatenate([eq_new, odd_eq], axis=-2)
         lt_l, eq_l = lt_new, eq_new
         lt_b, eq_b = new_lt_b, new_eq_b
+        lt_n, eq_n = new_lt_n, new_eq_n
         n = lt_l.shape[-2]
-    return CipheredBit(lt_l[..., 0, :], lt_b)
+    return CipheredBit(lt_l[..., 0, :], lt_b, noise=lt_n)
 
 
 def lt(a: Ciphered, b: Ciphered) -> Ciphered:
@@ -495,9 +532,11 @@ def select(cond: CipheredBit, a: Ciphered, b: Ciphered) -> Ciphered:
     x = gf2.xor(a.limbs, b.limbs)
     prod = gf2k.clmul(cond.limbs[..., None, :], x)
     bound = max(b.bound, cond.bound + max(a.bound, b.bound))
+    noise = max(b.noise, cond.noise + max(a.noise, b.noise))
     out = gf2.xor(gf2.pad_limbs(b.limbs, prod.shape[-1]), prod)
     return Ciphered(
-        gf2.fit_limbs(out, gf2.bucket(gf2.limbs_for(bound))), bound, a.desc
+        gf2.fit_limbs(out, gf2.bucket(gf2.limbs_for(bound))), bound, a.desc,
+        noise=noise,
     )
 
 
@@ -557,11 +596,11 @@ def shl(a: Ciphered, k: int) -> Ciphered:
     if k == 0:
         return a
     if k >= n:
-        return Ciphered(_zero_lanes_like(a, n), 0, a.desc)
+        return Ciphered(_zero_lanes_like(a, n), 0, a.desc, noise=0)
     out = jnp.concatenate(
         [_zero_lanes_like(a, k), a.limbs[..., : n - k, :]], axis=-2
     )
-    return Ciphered(out, a.bound, a.desc)
+    return Ciphered(out, a.bound, a.desc, noise=a.noise)
 
 
 def shr(a: Ciphered, k: int, *, arithmetic: bool | None = None) -> Ciphered:
@@ -589,7 +628,8 @@ def shr(a: Ciphered, k: int, *, arithmetic: bool | None = None) -> Ciphered:
         fill = _zero_lanes_like(a, kk)
         bound = a.bound if kk < n else 0
     out = jnp.concatenate([a.limbs[..., kk:, :], fill], axis=-2)
-    return Ciphered(out, bound, a.desc)
+    return Ciphered(out, bound, a.desc,
+                    noise=a.noise if bound or arithmetic else 0)
 
 
 def rotl(a: Ciphered, k: int) -> Ciphered:
@@ -602,7 +642,7 @@ def rotl(a: Ciphered, k: int) -> Ciphered:
     out = jnp.concatenate(
         [a.limbs[..., n - k :, :], a.limbs[..., : n - k, :]], axis=-2
     )
-    return Ciphered(out, a.bound, a.desc)
+    return Ciphered(out, a.bound, a.desc, noise=a.noise)
 
 
 def rotr(a: Ciphered, k: int) -> Ciphered:
@@ -621,7 +661,8 @@ def neg(a: Ciphered) -> Ciphered:
     a = a.densify()
     x_limbs = gf2.xor_const_bit(a.limbs, 1)
     n = len(a)
-    xs = [CipheredBit(x_limbs[..., i, :], a.bound) for i in range(n)]
+    xs = [CipheredBit(x_limbs[..., i, :], a.bound, noise=a.noise)
+          for i in range(n)]
     carry = CipheredBit.one(a.batch_shape)
     out: list[CipheredBit] = []
     for i in range(n):
@@ -646,6 +687,7 @@ def eq(a: Ciphered, b: Ciphered) -> Ciphered:
     a, b = a.densify(), b.densify()
     xn = gf2.xor_const_bit(gf2.xor(a.limbs, b.limbs), 1)
     bound = max(a.bound, b.bound)
+    noise = max(a.noise, b.noise)
     cur = xn
     n = cur.shape[-2]
     while n > 1:
@@ -653,13 +695,14 @@ def eq(a: Ciphered, b: Ciphered) -> Ciphered:
         lo, hi = cur[..., :half, :], cur[..., half : 2 * half, :]
         prod = gf2k.clmul(lo, hi)
         bound = bound * 2
+        noise = noise * 2
         prod = gf2.fit_limbs(prod, gf2.bucket(gf2.limbs_for(bound)))
         if n % 2:
             odd = gf2.pad_limbs(cur[..., -1:, :], prod.shape[-1])
             prod = jnp.concatenate([prod, odd], axis=-2)
         cur = prod
         n = cur.shape[-2]
-    return _bool_out(CipheredBit(cur[..., 0, :], bound))
+    return _bool_out(CipheredBit(cur[..., 0, :], bound, noise=noise))
 
 
 # --------------------------------------------------------------------------
@@ -691,13 +734,15 @@ def _batched_clmul_pairs(
     for items in groups.values():
         if len(items) == 1:
             u, v, key = items[0]
-            out[key] = CipheredBit(gf2k.clmul(u.limbs, v.limbs), u.bound + v.bound)
+            out[key] = CipheredBit(gf2k.clmul(u.limbs, v.limbs),
+                                   u.bound + v.bound, noise=u.noise + v.noise)
             continue
         U = jnp.stack([u.limbs for u, _, _ in items], axis=-2)
         V = jnp.stack([v.limbs for _, v, _ in items], axis=-2)
         P = gf2k.clmul(U, V)
         for idx, (u, v, key) in enumerate(items):
-            out[key] = CipheredBit(P[..., idx, :], u.bound + v.bound)
+            out[key] = CipheredBit(P[..., idx, :], u.bound + v.bound,
+                                   noise=u.noise + v.noise)
     return out
 
 
@@ -707,7 +752,7 @@ def _fit_bit(bit: CipheredBit, *, bucketed: bool = True) -> CipheredBit:
     L = gf2.limbs_for(bit.bound)
     if bucketed:
         L = gf2.bucket(L)
-    return CipheredBit(gf2.fit_limbs(bit.limbs, L), bit.bound)
+    return CipheredBit(gf2.fit_limbs(bit.limbs, L), bit.bound, noise=bit.noise)
 
 
 def _csa_accumulate(
@@ -745,7 +790,8 @@ def _csa_accumulate(
             else:
                 p1, p2 = prods[("p1", op.carry)], prods[("p2", op.carry)]
                 carry = CipheredBit(
-                    gf2.xor(p1.limbs, p2.limbs), max(p1.bound, p2.bound)
+                    gf2.xor(p1.limbs, p2.limbs), max(p1.bound, p2.bound),
+                    noise=max(p1.noise, p2.noise),
                 )
                 bits[op.carry] = _fit_bit(carry)
     A = [bits[c[0]] if len(c) > 0 else None for c in plan.final_cols]
@@ -789,9 +835,10 @@ def _ripple_add_rows(
         else:
             prod = gf2k.clmul(ms[i].limbs, carry.limbs)
             nb = max(gs[i].bound, ms[i].bound + carry.bound)
+            nn = max(gs[i].noise, ms[i].noise + carry.noise)
             Lc = gf2.bucket(gf2.limbs_for(nb))
             carry = CipheredBit(
-                gf2.xor(gf2.fit_limbs(prod, Lc), gs[i].limbs), nb
+                gf2.xor(gf2.fit_limbs(prod, Lc), gs[i].limbs), nb, noise=nn
             )
     return out
 
@@ -885,10 +932,12 @@ def _pp_tensor(a: Ciphered, b: Ciphered) -> list[list[CipheredBit]]:
     a, b = a.densify(), b.densify()
     prod = gf2k.clmul(a.limbs[..., :, None, :], b.limbs[..., None, :, :])
     bound = a.bound + b.bound
+    noise = a.noise + b.noise
     prod = gf2.fit_limbs(prod, gf2.limbs_for(bound))
     n = len(a)
     return [
-        [CipheredBit(prod[..., i, j, :], bound) for j in range(n)] for i in range(n)
+        [CipheredBit(prod[..., i, j, :], bound, noise=noise) for j in range(n)]
+        for i in range(n)
     ]
 
 

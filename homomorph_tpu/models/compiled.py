@@ -19,7 +19,7 @@ from typing import Callable
 import jax
 
 from .. import codec as _codec
-from ..cipher import Ciphered
+from ..cipher import FRESH_NOISE, Ciphered
 from ..context import Context
 from ..gf2 import poly as gf2
 from ..keys import PublicKey, SecretKey
@@ -28,7 +28,9 @@ from ..params import Parameters
 __all__ = ["compile_op2", "compile_op1", "compile_roundtrip"]
 
 
-def _derive_meta(apply_fn, bound: int, desc, *abstract_limbs) -> dict:
+def _derive_meta(
+    apply_fn, bound: int, desc, *abstract_limbs, noise: int = FRESH_NOISE
+) -> dict:
     """Output metadata (degree bound, zero_lanes, descriptor) of an
     operation, derived by an abstract trace.
 
@@ -40,11 +42,12 @@ def _derive_meta(apply_fn, bound: int, desc, *abstract_limbs) -> dict:
     meta = {}
 
     def probe(*limbs):
-        args = [Ciphered(x, bound, desc) for x in limbs]
+        args = [Ciphered(x, bound, desc, noise=noise) for x in limbs]
         out = apply_fn(*args)
         meta["bound"] = out.bound
         meta["zero_lanes"] = out.zero_lanes
         meta["desc"] = out.desc
+        meta["noise"] = out.noise
         return out.limbs
 
     jax.eval_shape(probe, *abstract_limbs)
@@ -52,57 +55,66 @@ def _derive_meta(apply_fn, bound: int, desc, *abstract_limbs) -> dict:
 
 
 def compile_op2(
-    op, desc: _codec.TypeDescriptor, bound: int
+    op, desc: _codec.TypeDescriptor, bound: int, noise: int = FRESH_NOISE
 ) -> Callable[[Ciphered, Ciphered], Ciphered]:
     """Compile a binary operation into one XLA program.
 
     ``bound`` is the operands' degree bound (``params.pk_degree`` for
-    fresh ciphertexts).  Shapes specialize on first call per batch shape.
+    fresh ciphertexts) and ``noise`` their tracked noise bound (fresh by
+    default; pass the composed value when the pipeline consumes circuit
+    outputs).  Shapes specialize on first call per batch shape.
     """
     out_meta = {}
 
     @jax.jit
     def run(a_limbs, b_limbs):
-        a = Ciphered(a_limbs, bound, desc)
-        b = Ciphered(b_limbs, bound, desc)
+        a = Ciphered(a_limbs, bound, desc, noise=noise)
+        b = Ciphered(b_limbs, bound, desc, noise=noise)
         return op.unsafe_apply(a, b).limbs
 
     def call(a: Ciphered, b: Ciphered) -> Ciphered:
         if not out_meta:
             out_meta.update(
-                _derive_meta(op.unsafe_apply, bound, desc, a.limbs, b.limbs)
+                _derive_meta(op.unsafe_apply, bound, desc, a.limbs, b.limbs,
+                             noise=noise)
             )
         # re-attach the trace-time metadata: comparison/equality ops return
         # the slim Ciphered[Bool] layout (zero_lanes=7) and a Bool desc -
-        # dropping either makes the result undecryptable/mistyped
+        # dropping either makes the result undecryptable/mistyped; the
+        # noise bound keeps the checked API sound downstream
         return Ciphered(
             run(a.limbs, b.limbs),
             out_meta["bound"],
             out_meta["desc"],
             zero_lanes=out_meta["zero_lanes"],
+            noise=out_meta["noise"],
         )
 
     return call
 
 
 def compile_op1(
-    op, desc: _codec.TypeDescriptor, bound: int
+    op, desc: _codec.TypeDescriptor, bound: int, noise: int = FRESH_NOISE
 ) -> Callable[[Ciphered], Ciphered]:
     out_meta = {}
 
     @jax.jit
     def run(a_limbs):
-        a = Ciphered(a_limbs, bound, desc)
+        a = Ciphered(a_limbs, bound, desc, noise=noise)
         return op.unsafe_apply(a).limbs
 
     def call(a: Ciphered) -> Ciphered:
         if not out_meta:
-            out_meta.update(_derive_meta(op.unsafe_apply, bound, desc, a.limbs))
+            out_meta.update(
+                _derive_meta(op.unsafe_apply, bound, desc, a.limbs,
+                             noise=noise)
+            )
         return Ciphered(
             run(a.limbs),
             out_meta["bound"],
             out_meta["desc"],
             zero_lanes=out_meta["zero_lanes"],
+            noise=out_meta["noise"],
         )
 
     return call
@@ -127,6 +139,8 @@ def compile_roundtrip(
         # validate with the statically-known operand width so width-aware
         # requirements (requirement_for) apply, not the blanket constant
         class _Lanes:
+            noise = FRESH_NOISE  # compile_roundtrip encrypts fresh inputs
+
             def __len__(self):
                 return desc.num_bits
 

@@ -46,6 +46,14 @@ __all__ = [
     "min_max_noise_degree",
     "div_noise_degree",
     "required_ratio",
+    "add_noise_seeded",
+    "mul_noise_seeded",
+    "mul_ref_noise_seeded",
+    "compare_noise_seeded",
+    "eq_noise_seeded",
+    "min_max_noise_seeded",
+    "sum_noise_seeded",
+    "popcount_noise_seeded",
 ]
 
 
@@ -54,25 +62,37 @@ def fresh_noise_degree(delta: int) -> int:
     return delta + 1
 
 
-def add_noise_degree(n: int, delta: int, carry_in: bool = False) -> int:
-    """Ripple-carry adder (circuits.add / common.rs:37-64) on fresh inputs.
+def add_noise_seeded(
+    n: int, na: int, nb: int, c0: int | None = None
+) -> int:
+    """Ripple-carry adder replay on OPERAND noise seeds ``na``/``nb``
+    (normalized delta=1 units - cipher.FRESH_NOISE for fresh operands).
 
     Mirrors the recurrence ``c' = g ^ m*c`` with ``m = x*(g^1)``:
-    deg x = deg g-factor inputs = D0, deg g = 2*D0, deg m = 3*D0,
-    deg c_{i+1} = max(2*D0, 3*D0 + deg c_i).
+    deg x = max(na, nb), deg g = na + nb, deg m = x + g,
+    deg c_{i+1} = max(g, m + deg c_i).  ``c0`` seeds the carry chain
+    (``None`` = trivial zero).  This is what the checked API evaluates
+    per operand pair, so the envelope stays sound under COMPOSITION."""
+    x = max(na, nb)
+    g = na + nb
+    m = x + g
+    c = c0
+    out = max(x, c or 0)
+    for _ in range(n - 1):
+        c = g if c is None else max(g, m + c)
+        out = max(out, x, c)
+    return out
+
+
+def add_noise_degree(n: int, delta: int, carry_in: bool = False) -> int:
+    """Ripple-carry adder (circuits.add / common.rs:37-64) on fresh inputs
+    (seeded replay: :func:`add_noise_seeded`).
+
+    carry-in: a trivial one() has degree 0, but sub() feeds c0 = one
+    (deg 0); model worst case as a fresh bit.
     """
     D0 = fresh_noise_degree(delta)
-    c = D0 if carry_in else None  # carry-in: a trivial one() has degree 0,
-    # but sub() feeds c0 = one (deg 0); model worst case as a fresh bit
-    out = D0
-    for i in range(n - 1):
-        if c is None:
-            c_next = 2 * D0
-        else:
-            c_next = max(2 * D0, 3 * D0 + c)
-        c = c_next
-        out = max(out, max(D0, c))
-    return out
+    return add_noise_seeded(n, D0, D0, c0=D0 if carry_in else None)
 
 
 def mul_noise_degree(n: int, delta: int, signed: bool = False) -> int:
@@ -102,12 +122,19 @@ def mul_noise_degree(n: int, delta: int, signed: bool = False) -> int:
     (n=4: 16 vs 24) and the circuit dispatches to it; this function
     returns the bound of whichever circuit actually runs.
     """
+    D0 = fresh_noise_degree(delta)
+    return mul_noise_seeded(n, D0, D0, signed)
+
+
+def mul_noise_seeded(n: int, na: int, nb: int, signed: bool = False) -> int:
+    """Width-dispatched multiplier replay on operand noise seeds (the
+    partial products seed at ``na + nb``); same circuit dispatch as
+    :func:`mul_noise_degree`."""
     from .csaplan import TREE_MIN_WIDTH, csa_plan
 
     if n < TREE_MIN_WIDTH:
-        return mul_ref_noise_degree(n, delta, signed)
-    D0 = fresh_noise_degree(delta)
-    pp = 2 * D0
+        return mul_ref_noise_seeded(n, na, nb)
+    pp = na + nb
     deg = {i * n + j: pp for i in range(n) for j in range(n - i)}
     return _replay_csa(csa_plan(n), deg)
 
@@ -166,7 +193,19 @@ def sum_noise_degree(n: int, delta: int, k: int) -> int:
     if k == 2:
         return add_noise_degree(n, delta)
     D0 = fresh_noise_degree(delta)
-    deg = {o * n + j: D0 for o in range(k) for j in range(n)}
+    return sum_noise_seeded(n, [D0] * k)
+
+
+def sum_noise_seeded(n: int, noises: "list[int]") -> int:
+    """N-ary sum replay on per-operand noise seeds."""
+    from .csaplan import sum_plan
+
+    k = len(noises)
+    if k == 1:
+        return noises[0]
+    if k == 2:
+        return add_noise_seeded(n, noises[0], noises[1])
+    deg = {o * n + j: noises[o] for o in range(k) for j in range(n)}
     return _replay_csa(sum_plan(n, k), deg)
 
 
@@ -193,12 +232,16 @@ def chained_sum_noise_degree(n: int, delta: int, k: int) -> int:
 def popcount_noise_degree(n: int, delta: int) -> int:
     """Population count (circuits.popcount): exact replay of the
     popcount plan on fresh input degrees."""
+    return popcount_noise_seeded(n, fresh_noise_degree(delta))
+
+
+def popcount_noise_seeded(n: int, na: int) -> int:
+    """Population-count replay on an operand noise seed."""
     from .csaplan import popcount_plan
 
     if n == 1:
-        return fresh_noise_degree(delta)
-    D0 = fresh_noise_degree(delta)
-    deg = {j: D0 for j in range(n)}
+        return na
+    deg = {j: na for j in range(n)}
     return _replay_csa(popcount_plan(n), deg)
 
 
@@ -209,7 +252,12 @@ def mul_ref_noise_degree(n: int, delta: int, signed: bool = False) -> int:
     sign flips don't change degrees).  Kept for the parity oracle; the
     shipped default is the carry-save tree (mul_noise_degree)."""
     D0 = fresh_noise_degree(delta)
-    pp = 2 * D0  # every partial product a_i * b_j
+    return mul_ref_noise_seeded(n, D0, D0)
+
+
+def mul_ref_noise_seeded(n: int, na: int, nb: int) -> int:
+    """Reference column accumulation replay on operand noise seeds."""
+    pp = na + nb  # every partial product a_i * b_j
     result = [0] * n  # degree 0 = the zero/constant lane
     carries: list[int] = []
     offset = 0
@@ -237,8 +285,14 @@ def compare_noise_degree(n: int, delta: int) -> int:
     the borrow-chain comparator it replaced (u8: 19 vs 49).
     """
     D0 = fresh_noise_degree(delta)
-    lt = [2 * D0] * n
-    eq = [D0] * n
+    return compare_noise_seeded(n, D0, D0)
+
+
+def compare_noise_seeded(n: int, na: int, nb: int) -> int:
+    """Tree comparator replay on operand noise seeds: lane seeds
+    ``lt_i = ~a_i * b_i`` (na + nb) and affine ``eq_i`` (max)."""
+    lt = [na + nb] * n
+    eq = [max(na, nb)] * n
     while len(lt) > 1:
         half = len(lt) // 2
         nlt = [max(lt[2 * j + 1], eq[2 * j + 1] + lt[2 * j]) for j in range(half)]
@@ -255,11 +309,23 @@ def eq_noise_degree(n: int, delta: int) -> int:
     return n * fresh_noise_degree(delta)
 
 
+def eq_noise_seeded(n: int, na: int, nb: int) -> int:
+    """Equality replay on operand noise seeds."""
+    return n * max(na, nb)
+
+
 def min_max_noise_degree(n: int, delta: int) -> int:
     """min/max (circuits.min_/max_): one borrow-chain comparison feeding a
     mux ``out = b ^ cond*(a^b)`` - one more AND of the compare result with
     a fresh-degree lane."""
-    return compare_noise_degree(n, delta) + fresh_noise_degree(delta)
+    D0 = fresh_noise_degree(delta)
+    return min_max_noise_seeded(n, D0, D0)
+
+
+def min_max_noise_seeded(n: int, na: int, nb: int) -> int:
+    """min/max replay on operand noise seeds: compare + the mux's AND of
+    the compare bit with an operand lane."""
+    return compare_noise_seeded(n, na, nb) + max(na, nb)
 
 
 def div_noise_degree(n: int, delta: int) -> int:

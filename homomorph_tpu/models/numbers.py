@@ -35,7 +35,7 @@ uint.rs:88-90 vs int.rs:90-92).
 from __future__ import annotations
 
 from .. import codec as _codec
-from ..cipher import Ciphered
+from ..cipher import FRESH_NOISE as _FRESH, Ciphered
 from ..operations import (
     HomomorphicOperation1,
     HomomorphicOperation2,
@@ -62,8 +62,26 @@ __all__ = [
 ]
 
 
+def _noises(operands) -> "list[int]":
+    """Tracked noise seeds of the operands (normalized delta=1 units)."""
+    return [c.noise for c in operands]
+
+
+def _all_fresh(operands) -> bool:
+    return all(c.noise <= _FRESH for c in operands)
+
+
 class HomomorphicAndGate(HomomorphicOperation2):
     MIN_D_OVER_DELTA = 2
+
+    @classmethod
+    def requirement_for(cls, *operands: Ciphered) -> int:
+        # fresh operands keep the reference's published constant
+        # (src/impls/numbers.rs:29-31); COMPOSED operands escalate to the
+        # tracked-noise bound so chained gates stay inside the envelope
+        if _all_fresh(operands):
+            return cls.MIN_D_OVER_DELTA
+        return _noise.required_ratio(sum(_noises(operands)))
 
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
@@ -73,6 +91,8 @@ class HomomorphicAndGate(HomomorphicOperation2):
 class HomomorphicOrGate(HomomorphicOperation2):
     MIN_D_OVER_DELTA = 2
 
+    requirement_for = HomomorphicAndGate.requirement_for  # a+b+ab: same bound
+
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
         return circuits.gate_or(a, b)
@@ -81,6 +101,12 @@ class HomomorphicOrGate(HomomorphicOperation2):
 class HomomorphicXorGate(HomomorphicOperation2):
     MIN_D_OVER_DELTA = 1
 
+    @classmethod
+    def requirement_for(cls, *operands: Ciphered) -> int:
+        if _all_fresh(operands):
+            return cls.MIN_D_OVER_DELTA
+        return _noise.required_ratio(max(_noises(operands)))
+
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
         return circuits.gate_xor(a, b)
@@ -88,6 +114,12 @@ class HomomorphicXorGate(HomomorphicOperation2):
 
 class HomomorphicNotGate(HomomorphicOperation1):
     MIN_D_OVER_DELTA = 1
+
+    @classmethod
+    def requirement_for(cls, *operands: Ciphered) -> int:
+        if _all_fresh(operands):
+            return cls.MIN_D_OVER_DELTA
+        return _noise.required_ratio(max(_noises(operands)))
 
     @staticmethod
     def unsafe_apply(a: Ciphered) -> Ciphered:
@@ -106,7 +138,8 @@ class HomomorphicAddition(HomomorphicOperation2):
     @classmethod
     def requirement_for(cls, *operands: Ciphered) -> int:
         n = max(len(c) for c in operands)
-        return _noise.required_ratio(_noise.add_noise_degree(n, 1))
+        na, nb = (_noises(operands) + [_FRESH])[:2]
+        return _noise.required_ratio(_noise.add_noise_seeded(n, na, nb))
 
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
@@ -138,7 +171,8 @@ class HomomorphicMultiplication(HomomorphicOperation2):
     @classmethod
     def requirement_for(cls, *operands: Ciphered) -> int:
         n = max(len(c) for c in operands)
-        return _noise.required_ratio(_noise.mul_noise_degree(n, 1))
+        na, nb = (_noises(operands) + [_FRESH])[:2]
+        return _noise.required_ratio(_noise.mul_noise_seeded(n, na, nb))
 
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
@@ -166,7 +200,10 @@ class HomomorphicSubtraction(HomomorphicOperation2):
     @classmethod
     def requirement_for(cls, *operands: Ciphered) -> int:
         n = max(len(c) for c in operands)
-        return _noise.required_ratio(_noise.add_noise_degree(n, 1, carry_in=True))
+        na, nb = (_noises(operands) + [_FRESH])[:2]
+        return _noise.required_ratio(
+            _noise.add_noise_seeded(n, na, nb, c0=max(na, nb))
+        )
 
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
@@ -186,7 +223,10 @@ class HomomorphicNegation(HomomorphicOperation1):
     @classmethod
     def requirement_for(cls, *operands: Ciphered) -> int:
         n = max(len(c) for c in operands)
-        return _noise.required_ratio(_noise.add_noise_degree(n, 1, carry_in=True))
+        na = operands[0].noise if operands else _FRESH
+        return _noise.required_ratio(
+            _noise.add_noise_seeded(n, na, na, c0=na)
+        )
 
     @staticmethod
     def unsafe_apply(a: Ciphered) -> Ciphered:
@@ -209,7 +249,8 @@ class HomomorphicLessThan(HomomorphicOperation2):
     @classmethod
     def requirement_for(cls, *operands: Ciphered) -> int:
         n = max(len(c) for c in operands)
-        return _noise.required_ratio(_noise.compare_noise_degree(n, 1))
+        na, nb = (_noises(operands) + [_FRESH])[:2]
+        return _noise.required_ratio(_noise.compare_noise_seeded(n, na, nb))
 
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
@@ -225,7 +266,8 @@ class HomomorphicGreaterThan(HomomorphicOperation2):
     @classmethod
     def requirement_for(cls, *operands: Ciphered) -> int:
         n = max(len(c) for c in operands)
-        return _noise.required_ratio(_noise.compare_noise_degree(n, 1))
+        na, nb = (_noises(operands) + [_FRESH])[:2]
+        return _noise.required_ratio(_noise.compare_noise_seeded(n, na, nb))
 
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
@@ -245,7 +287,8 @@ class HomomorphicMinimum(HomomorphicOperation2):
     @classmethod
     def requirement_for(cls, *operands: Ciphered) -> int:
         n = max(len(c) for c in operands)
-        return _noise.required_ratio(_noise.min_max_noise_degree(n, 1))
+        na, nb = (_noises(operands) + [_FRESH])[:2]
+        return _noise.required_ratio(_noise.min_max_noise_seeded(n, na, nb))
 
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
@@ -260,7 +303,8 @@ class HomomorphicMaximum(HomomorphicOperation2):
     @classmethod
     def requirement_for(cls, *operands: Ciphered) -> int:
         n = max(len(c) for c in operands)
-        return _noise.required_ratio(_noise.min_max_noise_degree(n, 1))
+        na, nb = (_noises(operands) + [_FRESH])[:2]
+        return _noise.required_ratio(_noise.min_max_noise_seeded(n, na, nb))
 
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
@@ -287,8 +331,9 @@ class HomomorphicSum(HomomorphicOperationN):
     @classmethod
     def requirement_for(cls, *operands: Ciphered) -> int:
         n = max(len(c) for c in operands)
-        k = len(operands)
-        return _noise.required_ratio(_noise.sum_noise_degree(n, 1, k))
+        return _noise.required_ratio(
+            _noise.sum_noise_seeded(n, _noises(operands))
+        )
 
     @staticmethod
     def unsafe_apply(args) -> Ciphered:
@@ -309,7 +354,8 @@ class HomomorphicPopCount(HomomorphicOperation1):
     @classmethod
     def requirement_for(cls, *operands: Ciphered) -> int:
         n = max(len(c) for c in operands)
-        return _noise.required_ratio(_noise.popcount_noise_degree(n, 1))
+        na = operands[0].noise if operands else _FRESH
+        return _noise.required_ratio(_noise.popcount_noise_seeded(n, na))
 
     @staticmethod
     def unsafe_apply(a: Ciphered) -> Ciphered:
@@ -338,7 +384,8 @@ class HomomorphicEquality(HomomorphicOperation2):
     @classmethod
     def requirement_for(cls, *operands: Ciphered) -> int:
         n = max(len(c) for c in operands)
-        return _noise.required_ratio(_noise.eq_noise_degree(n, 1))  # = 2n+1
+        na, nb = (_noises(operands) + [_FRESH])[:2]
+        return _noise.required_ratio(_noise.eq_noise_seeded(n, na, nb))
 
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:

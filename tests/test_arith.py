@@ -94,14 +94,25 @@ class TestAddition:
 
 
 class TestSuccessiveAddition:
-    # uint.rs:230-252 (scaled down from the ignored long test)
+    # uint.rs:230-252 (scaled down from the ignored long test).  The
+    # reference chains through its UNSAFE apply; our checked API now
+    # tracks composed noise (round 4) and must REJECT the second fold
+    # (chained u8 noise degree 534 > d=256 - the envelope the reference's
+    # static constant cannot see), while the unchecked circuit still
+    # computes it (statistically correct, like the reference's own test).
     def test_three_way(self):
+        from homomorph_tpu.models import circuits
+
         # d=256 as in the reference's successive-addition test (uint.rs:233)
         ctx = make_ctx(256, 32, 1, 32, seed=5)
         xs = (11, 22, 30)
         ca, cb, cc = (ctx.encrypt(x, hm.U8) for x in xs)
-        d = ctx.apply2(HomomorphicAddition, ca, cb)
-        e = ctx.apply2(HomomorphicAddition, d, cc)
+        d = ctx.apply2(HomomorphicAddition, ca, cb)  # in-envelope (40 < 256)
+        assert d.noise == 40
+        with pytest.raises(hm.InvalidParametersError):
+            ctx.apply2(HomomorphicAddition, d, cc)  # composed: 534 > 256
+        e = circuits.add(d, cc)  # the reference's unsafe-apply semantics
+        assert e.noise == 534
         assert ctx.decrypt(e) == sum(xs)
 
 

@@ -133,7 +133,7 @@ class TestCiphertextHeaderValidation:
 
         return np.array(
             [hm.Ciphered.WIRE_MAGIC, hm.Ciphered.WIRE_VERSION,
-             n_bits, zero_lanes, L, bound, rank],
+             n_bits, zero_lanes, L, bound, 2, rank],  # 2 = fresh noise (v2)
             dtype="<u4",
         ).tobytes()
 

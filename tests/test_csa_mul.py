@@ -120,6 +120,8 @@ class TestTreeVsReferenceOracle:
 class TestRequirements:
     def test_width_aware_tree_bounds(self):
         class Lanes:
+            noise = 2  # fresh (cipher.FRESH_NOISE)
+
             def __init__(self, n):
                 self.n = n
 
@@ -140,11 +142,18 @@ class TestRequirements:
         # validation-only: the execution at d=1013 is exercised by the
         # slow suite; here we check the gate opens exactly at the bound
         ctx = hm.Context(hm.Parameters(1013, 1, 1, 2))
-        a = hm.Ciphered.trivial(3, hm.U16)
+        t = hm.Ciphered.trivial(3, hm.U16)
+        # stamp FRESH noise on the trivial stand-in: round-4 noise
+        # tracking correctly gives genuinely-trivial operands a LOWER
+        # requirement (their products carry zero noise), which is not
+        # what this gate-position test probes
+        a = hm.Ciphered(t.limbs, t.bound, t.desc, noise=2)
         ctx.validate_operation(HomomorphicMultiplication, a, a)  # no raise
         below = hm.Context(hm.Parameters(1012, 1, 1, 2))
         with pytest.raises(hm.InvalidParametersError):
             below.apply2(HomomorphicMultiplication, a, a)
+        # and the trivial-operand requirement really is lower now
+        assert HomomorphicMultiplication.requirement_for(t, t) < 1013
 
 
 class TestSumAndPopcount:

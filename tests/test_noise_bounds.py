@@ -101,6 +101,8 @@ class TestS0Dichotomy:
 class TestCheckedApiUsesExactBounds:
     def test_requirement_table(self):
         class Lanes:
+            noise = 2  # fresh (cipher.FRESH_NOISE)
+
             def __init__(self, n):
                 self.n = n
 

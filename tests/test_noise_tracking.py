@@ -1,0 +1,182 @@
+"""Composition-aware noise tracking (round 4).
+
+Every ciphertext carries a worst-case noise degree in normalized delta=1
+units (``cipher.FRESH_NOISE``); gates and circuits propagate it with the
+same degree algebra as the polynomial ``bound`` (xor -> max, and -> sum),
+and the checked API's ``requirement_for`` consumes the OPERANDS' tracked
+values - so applying ops to results of previous ops keeps a sound
+envelope, which the reference's static per-op constants cannot give
+(src/impls/numbers.rs:27-50: the unsafe/checked split assumes fresh
+operands).
+
+The tracked values must agree exactly with models/noise.py's replay
+functions on fresh inputs (those are the published bounds) and compose
+like the seeded replays thereafter.
+"""
+
+import numpy as np
+import pytest
+
+import homomorph_tpu as hm
+from homomorph_tpu.cipher import FRESH_NOISE, CipheredBit
+from homomorph_tpu.models import (
+    HomomorphicAddition,
+    HomomorphicMultiplication,
+    circuits,
+    noise as N,
+)
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    c = hm.Context(hm.Parameters(64, 16, 1, 16), source=hm.ThreefrySource(3))
+    c.generate_secret_key()
+    c.generate_public_key()
+    return c
+
+
+class TestSeeds:
+    def test_fresh_and_trivial(self, ctx):
+        assert ctx.encrypt(7, hm.U8).noise == FRESH_NOISE
+        assert hm.Ciphered.trivial(7, hm.U8).noise == 0
+        assert CipheredBit.zero().noise == 0
+        assert CipheredBit.one().noise == 0
+
+    def test_bit_gates(self, ctx):
+        a = ctx.encrypt(1, hm.U8)[0]
+        b = ctx.encrypt(0, hm.U8)[0]
+        assert a.xor(b).noise == FRESH_NOISE
+        assert a.and_(b).noise == 2 * FRESH_NOISE
+        assert a.or_(b).noise == 2 * FRESH_NOISE
+        assert a.not_().noise == FRESH_NOISE
+        deep = a.and_(b).and_(a.xor(b))
+        assert deep.noise == 3 * FRESH_NOISE
+
+
+class TestCircuitOutputsMatchReplay:
+    """Circuit-stamped noise == the published replay bound on fresh
+    inputs - one assertion per shipped circuit family."""
+
+    def test_gates(self, ctx):
+        a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(3, hm.U8)
+        assert circuits.gate_xor(a, b).noise == 2
+        assert circuits.gate_and(a, b).noise == 4
+        assert circuits.gate_or(a, b).noise == 4
+        assert circuits.gate_not(a).noise == 2
+
+    def test_add_sub_neg(self, ctx):
+        a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(3, hm.U8)
+        assert circuits.add(a, b).noise == N.add_noise_degree(8, 1)
+        assert circuits.sub(a, b).noise <= N.add_noise_degree(8, 1, carry_in=True)
+        assert circuits.neg(a).noise <= N.add_noise_degree(8, 1, carry_in=True)
+
+    def test_compare_eq_minmax(self, ctx):
+        a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(3, hm.U8)
+        assert circuits.lt(a, b).noise == N.compare_noise_degree(8, 1)
+        assert circuits.ge(a, b).noise == N.compare_noise_degree(8, 1)
+        assert circuits.eq(a, b).noise <= N.eq_noise_degree(8, 1)
+        assert circuits.min_(a, b).noise <= N.min_max_noise_degree(8, 1)
+
+    def test_mul(self, ctx):
+        a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(3, hm.U8)
+        assert circuits.mul_unsigned(a, b).noise <= N.mul_noise_degree(8, 1)
+        assert circuits.mul_unsigned_ref(a, b).noise <= N.mul_ref_noise_degree(8, 1)
+
+    def test_sum_popcount(self, ctx):
+        ops = [ctx.encrypt(i, hm.U8) for i in range(4)]
+        assert circuits.sum_many(ops).noise <= N.sum_noise_degree(8, 1, 4)
+        assert circuits.popcount(ops[0]).noise <= N.popcount_noise_degree(8, 1)
+
+    def test_degree_free_ops(self, ctx):
+        a = ctx.encrypt(6, hm.U8)
+        assert circuits.shl(a, 2).noise == FRESH_NOISE
+        assert circuits.shr(a, 2).noise == FRESH_NOISE
+        assert circuits.rotl(a, 3).noise == FRESH_NOISE
+        assert circuits.shl(a, 8).noise == 0  # all lanes trivial zero
+
+
+class TestCheckedComposition:
+    def test_add_of_add_rejected(self, ctx):
+        # d/delta = 64: one u8 add (req 41) fits, a chained one (535) not
+        a, b, c = (ctx.encrypt(v, hm.U8) for v in (1, 2, 3))
+        s = ctx.apply2(HomomorphicAddition, a, b)
+        assert s.noise == N.add_noise_seeded(8, 2, 2)
+        with pytest.raises(hm.InvalidParametersError):
+            ctx.apply2(HomomorphicAddition, s, c)
+
+    def test_gate_chain_rejected_when_composed(self, ctx):
+        from homomorph_tpu.models import HomomorphicAndGate
+
+        a, b = ctx.encrypt(1, hm.U8), ctx.encrypt(2, hm.U8)
+        x = ctx.apply2(HomomorphicAndGate, a, b)  # fresh: published 2
+        # chain ANDs until the tracked bound crosses d/delta = 64
+        while x.noise + FRESH_NOISE + 1 <= 64:
+            x = ctx.apply2(HomomorphicAndGate, x, a)
+        with pytest.raises(hm.InvalidParametersError):
+            ctx.apply2(HomomorphicAndGate, x, a)
+
+    def test_mul_of_fresh_still_allowed(self):
+        ctx = hm.Context(
+            hm.Parameters(160, 16, 1, 16), source=hm.ThreefrySource(5)
+        )
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+        a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(7, hm.U8)
+        out = ctx.apply2(HomomorphicMultiplication, a, b)
+        assert ctx.decrypt(out) == 42
+        # and using the product further must escalate the requirement
+        with pytest.raises(hm.InvalidParametersError):
+            ctx.apply2(HomomorphicAddition, out, a)
+
+    def test_trivial_operands_lower_requirement(self, ctx):
+        # trivial (noise 0) constants compose more cheaply than fresh:
+        # seeded add replay with nb=0 is below the fresh bound
+        t = hm.Ciphered.trivial(42, hm.U8)
+        a = ctx.encrypt(6, hm.U8)
+        s = ctx.apply2(HomomorphicAddition, a, t)
+        assert s.noise == N.add_noise_seeded(8, FRESH_NOISE, 0)
+        assert s.noise < N.add_noise_degree(8, 1)
+        assert ctx.decrypt(s) == 48
+
+
+class TestPlumbing:
+    def test_new_from_raw_list_propagates(self, ctx):
+        a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(3, hm.U8)
+        s = circuits.add(a, b)
+        rebuilt = hm.Ciphered.new_from_raw(s.bits(), hm.U8)
+        assert rebuilt.noise == s.noise
+
+    def test_wire_format_roundtrip_preserves_noise(self, ctx):
+        a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(3, hm.U8)
+        s = circuits.add(a, b)
+        back = hm.Ciphered.from_bytes(s.to_bytes(), hm.U8)
+        assert back.noise == s.noise
+        assert back.bound == s.bound
+
+    def test_v1_buffer_loads_as_fresh(self, ctx):
+        # hand-build a v1 header around a fresh ciphertext's limbs
+        a = ctx.encrypt(6, hm.U8)
+        host = np.asarray(a.limbs, dtype="<u4")
+        head = np.array(
+            [hm.Ciphered.WIRE_MAGIC, 1, len(a), 0, a.num_limbs, a.bound, 0],
+            dtype="<u4",
+        )
+        back = hm.Ciphered.from_bytes(head.tobytes() + host.tobytes(), hm.U8)
+        assert back.noise == FRESH_NOISE
+
+    def test_compiled_pipeline_preserves_noise(self, ctx):
+        from homomorph_tpu.models.compiled import compile_op2
+
+        a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(3, hm.U8)
+        f = compile_op2(
+            HomomorphicAddition, hm.U8, ctx.parameters.pk_degree
+        )
+        out = f(a, b)
+        assert out.noise == N.add_noise_degree(8, 1)
+        assert ctx.decrypt(out) == 9
+
+    def test_reinterpret_and_densify_preserve(self, ctx):
+        a, b = ctx.encrypt(6, hm.U8), ctx.encrypt(3, hm.U8)
+        r = circuits.lt(a, b)
+        assert r.densify().noise == r.noise
+        assert r.reinterpret(hm.Bool).noise == r.noise

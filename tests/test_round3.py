@@ -101,6 +101,8 @@ class TestSignedComparisons:
         # Sign-bit flip is an XOR with one() - degree-free, so the checked
         # API's bound for i8 equals the u8 bound.
         class Lanes:
+            noise = 2  # fresh (cipher.FRESH_NOISE)
+
             def __init__(self, n):
                 self.n = n
 
