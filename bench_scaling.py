@@ -104,15 +104,24 @@ def main() -> None:
         "metric": "scaling_efficiency_bulk_encrypt",
         "throughput_bits_per_s": {str(k): round(v, 1) for k, v in results.items()},
         "efficiency_vs_linear": effs,
+        # on a shared-core virtual mesh the single-device program already
+        # saturates the host (XLA CPU intra-op threading), so the
+        # structure-validation criterion is throughput_n / throughput_1
+        # staying ~1.0: the sharded program + collectives add no overhead
+        "speedup_vs_single_device": {
+            str(n): round(v / base, 3) for n, v in results.items() if n > 1
+        },
         "devices": n_avail,
         "platform": jax.devices()[0].platform,
     }
     if jax.devices()[0].platform == "cpu":
         payload["physical_cores"] = os.cpu_count()
         payload["note"] = (
-            "virtual CPU device mesh: devices share the host's cores, so "
-            "efficiency_vs_linear is bounded by cores/devices and validates "
-            "program structure (shardings + collectives), not ICI scaling"
+            "virtual CPU device mesh: devices share the host's cores (one "
+            "device already saturates them via XLA's intra-op threadpool), "
+            "so efficiency_vs_linear is bounded by cores/devices; this run "
+            "validates program structure (shardings + collectives add no "
+            "overhead - see speedup_vs_single_device), not ICI scaling"
         )
     print(json.dumps(payload))
 

@@ -109,6 +109,31 @@ def main() -> None:
         n_checked += 1
     assert n_checked > 0
 
+    # optional bulk-encrypt timing across the process boundary (the
+    # 2-process point of the scaling curve; SCALING.md)
+    if os.environ.get("MULTIHOST_BENCH") == "1":
+        import time
+
+        Bb, nb = 2048 * nprocs, 8
+        bits_b = np.zeros((Bb, nb), dtype=np.uint32)
+        sel_b = rng.integers(0, 2, size=(Bb, nb, params.tau)).astype(np.uint8)
+        jax.block_until_ready(
+            bulk.sharded_encrypt_bits(cfg, sel_b, pk.bit_planes(), bits_b, L)
+        )
+        t0 = time.perf_counter()
+        steps = 6
+        outs = [
+            bulk.sharded_encrypt_bits(cfg, sel_b, pk.bit_planes(), bits_b, L)
+            for _ in range(steps)
+        ]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / steps
+        print(
+            f"MULTIHOST BENCH pid={pid} {Bb * nb / dt:,.0f} bits/s "
+            f"({nprocs} processes)",
+            flush=True,
+        )
+
     print(f"MULTIHOST OK pid={pid} devices={n_global}", flush=True)
 
 
