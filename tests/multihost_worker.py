@@ -42,13 +42,21 @@ def main() -> None:
     # DCN analogue), the tau axis spans each process's local devices
     cfg = distributed.global_mesh(n_tau=2)
 
-    # identical keys on every process (shared seed = the checkpoint/restore
-    # story: keys are the durable state)
+    # key distribution: process 0 generates, everyone else receives the
+    # exact key BYTES over the coordinator fabric (the production
+    # bootstrap - distributed.broadcast_keys), then all processes verify
+    # byte-identity
     params = hm.Parameters(64, 8, 1, 8)
     ctx = hm.Context(params, source=hm.ThreefrySource(0))
-    ctx.generate_secret_key()
-    ctx.generate_public_key()
+    if pid == 0:
+        ctx.generate_secret_key()
+        ctx.generate_public_key()
+    distributed.broadcast_keys(ctx)
     pk, sk = ctx.get_public_key(), ctx.get_secret_key()
+    distributed.assert_same_across_processes(sk.to_bytes(), "secret key")
+    distributed.assert_same_across_processes(
+        b"".join(pk.to_bytes()), "public key"
+    )
     L = gf2.limbs_for(params.pk_degree)
 
     # identical global inputs on every process
@@ -66,6 +74,29 @@ def main() -> None:
         got = np.asarray(shard.data)
         want = bits[shard.index[0]]
         assert (got == want).all(), (pid, shard.index, got, want)
+
+    # sharded-ciphertext checkpoint across the process boundary: every
+    # process writes its shards, process 0's manifest completes the set,
+    # and the restored ciphertext decrypts identically
+    import tempfile
+
+    ckpt_dir = os.path.join(tempfile.gettempdir(), f"hmckpt_{port}")
+    wrapped = hm.Ciphered.new_from_raw(ct, hm.BytesDescriptor(B * n // 8),
+                                       bound=params.pk_degree)
+    distributed.save_sharded(ckpt_dir, wrapped, name="mh")
+    # rendezvous: both processes must have written before anyone loads
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("ckpt_written")
+    restored = distributed.load_sharded(ckpt_dir, wrapped.desc, name="mh")
+    host = np.asarray(restored.limbs)
+    assert host.shape == ct.shape, (host.shape, ct.shape)
+    # the global array spans processes, so compare shard-by-shard: every
+    # ADDRESSABLE piece of the original must match the restored assembly
+    for shard in ct.addressable_shards:
+        assert np.array_equal(host[shard.index], np.asarray(shard.data)), (
+            f"sharded checkpoint round-trip mismatch at {shard.index}"
+        )
 
     # limb-sharded clmul whose ppermute boundary exchange crosses the
     # process boundary (round-3 verdict item 3): a 1-D "limb" mesh over

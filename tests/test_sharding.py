@@ -208,3 +208,52 @@ class TestReviewRegressions:
             ct = bulk.sharded_encrypt_bits(cfg, sel, pk.bit_planes(), bits, L)
             out = bulk.sharded_decrypt_bits(cfg, ct, sk.decrypt_mask(L))
         assert (np.asarray(out) == np.asarray(bits)).all()
+
+
+class TestShardedCheckpoint:
+    """save_sharded/load_sharded (parallel.distributed): per-shard
+    checkpoint of a sharded ciphertext + manifest, restored host-side."""
+
+    def test_roundtrip_preserves_limbs_and_metadata(self, keyed, tmp_path):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from homomorph_tpu.models import circuits
+        from homomorph_tpu.parallel import distributed
+
+        ctx = keyed
+        a = ctx.encrypt([3, 250, 17, 9], hm.U8, batch=True)
+        b = ctx.encrypt([5, 6, 7, 8], hm.U8, batch=True)
+        s = circuits.gate_xor(a, b)  # composed: nonzero tracked noise
+        cfg = make_mesh(4, 1, devices=jax.devices()[:4])
+        sharded = hm.Ciphered(
+            jax.device_put(
+                s.limbs, NamedSharding(cfg.mesh, P("data", None, None))
+            ),
+            s.bound,
+            s.desc,
+            noise=s.noise,
+        )
+        distributed.save_sharded(str(tmp_path), sharded, name="ck")
+        back = distributed.load_sharded(str(tmp_path), hm.U8, name="ck")
+        assert np.array_equal(np.asarray(back.limbs), np.asarray(s.limbs))
+        assert back.bound == s.bound and back.noise == s.noise
+        out = [int(v) for v in ctx.decrypt(back)]
+        assert out == [3 ^ 5, 250 ^ 6, 17 ^ 7, 9 ^ 8]
+
+    def test_wrong_desc_and_missing_shards(self, keyed, tmp_path):
+        from homomorph_tpu.parallel import distributed
+
+        ctx = keyed
+        c = ctx.encrypt([1, 2], hm.U8, batch=True)
+        distributed.save_sharded(str(tmp_path), c, name="ck")
+        with pytest.raises(hm.DeserializeError, match="was u8"):
+            distributed.load_sharded(str(tmp_path), hm.U16, name="ck")
+        # delete a shard file: incomplete checkpoints must refuse to load
+        import os
+
+        for fn in os.listdir(tmp_path):
+            if fn.endswith(".npz"):
+                os.remove(tmp_path / fn)
+                break
+        with pytest.raises(hm.DeserializeError, match="incomplete"):
+            distributed.load_sharded(str(tmp_path), hm.U8, name="ck")
