@@ -123,6 +123,18 @@ _STRIP = 32  # strip width (limbs) when both operands exceed the kernel cap
 _KARATSUBA_MIN = 64
 FORCE_KARATSUBA = os.environ.get("HOMOMORPH_TPU_FORCE_KARATSUBA", "0") == "1"
 
+# Combined limb count above which products route to the blocked-scan path
+# (_clmul_scan_blocked).  Rationale: the inline Karatsuba recursion's
+# 3^depth sub-product expansion makes the TRACE (and XLA compile time)
+# explode at the operand sizes u32+ multiplication produces (hundreds of
+# thousands of limbs; a 50-minute compile was measured and killed), and
+# the pure-jnp path materializes [B, La, Lb] - memory-infeasible there.
+# Below the threshold the existing Karatsuba path is faster AND compiles
+# in seconds, so it keeps the u8-u16 hot shapes.  Env-overridable for
+# tests.
+_SCAN_TOTAL_MIN = int(os.environ.get("HOMOMORPH_TPU_SCAN_MIN_TOTAL", "8192"))
+_SCAN_BLOCK_LIMBS = 2048  # big-operand block (VMEM: (2*(2048+48))*128*4 ~ 2.1MB)
+
 
 def clmul(a: jax.Array, b: jax.Array) -> jax.Array:
     """Batched carry-less multiply with Pallas + Karatsuba fast paths.
@@ -175,6 +187,9 @@ def _clmul_flat(af: jax.Array, bf: jax.Array) -> jax.Array:
     small, big = (af, bf) if La <= Lb else (bf, af)
     Ls, Lg = small.shape[1], big.shape[1]
 
+    if _kernel_enabled() and (Ls + Lg) > _SCAN_TOTAL_MIN:
+        return _clmul_scan_blocked(big, small)
+
     if Ls >= _KARATSUBA_MIN and (_kernel_enabled() or FORCE_KARATSUBA):
         if Lg > (3 * Ls) // 2:
             # chunk the big operand into Ls-limb pieces at static offsets;
@@ -213,6 +228,73 @@ def _clmul_flat(af: jax.Array, bf: jax.Array) -> jax.Array:
             acc[c0 : c0 + Lg + w, :] ^ prodT
         )
     return acc.T[:B]
+
+
+def _clmul_scan_blocked(big: jax.Array, small: jax.Array) -> jax.Array:
+    """Huge-operand clmul: [B, Lg] x [B, Ls] -> [B, Lg+Ls] with O(1)
+    TRACE size and bounded VMEM, for shapes where every inline path
+    breaks down (see ``_SCAN_TOTAL_MIN``).
+
+    Structure: the BIG operand's limb axis is cut into
+    ``_SCAN_BLOCK_LIMBS``-limb blocks laid onto the Pallas kernel's
+    128-wide lane axis alongside the batch (so small batches like the
+    multiplier's per-bit lanes fill the kernel for free), and the SMALL
+    operand is swept in ``_MAX_SMALL_LIMBS``-limb strips by ONE
+    ``lax.scan`` whose body is compiled once: slice strip -> kernel
+    product against ALL blocks -> XOR into the accumulator window at the
+    strip offset.  Block results are recombined at their limb offsets
+    after the scan (one XOR per block, static).
+
+    Work is schoolbook per strip (no Karatsuba saving - the trade for a
+    trace that does not grow with operand size); each strip pass is the
+    same merged-pass kernel the small-operand path uses, so per-strip
+    efficiency matches the measured kernel roofline.
+    """
+    B, Lg = big.shape
+    Ls = small.shape[1]
+    K = _MAX_SMALL_LIMBS
+    Lblk = min(Lg, _SCAN_BLOCK_LIMBS)
+    nblk = -(-Lg // Lblk)
+    nstrips = -(-Ls // K)
+    SK = nstrips * K
+
+    # blocks -> lanes, block-major: lane index j*B + b holds block j of row b
+    bigp = _pad_cols(big, Lblk * nblk).reshape(B, nblk, Lblk)
+    bigT = jnp.transpose(bigp, (2, 1, 0)).reshape(Lblk, nblk * B)
+    smallT = jnp.broadcast_to(
+        _pad_cols(small, SK).T[:, None, :], (SK, nblk, B)
+    ).reshape(SK, nblk * B)
+    Bn = nblk * B
+    lane_pad = (-Bn) % LANES
+    if lane_pad:
+        bigT = jnp.pad(bigT, [(0, 0), (0, lane_pad)])
+        smallT = jnp.pad(smallT, [(0, 0), (0, lane_pad)])
+    Bnp = Bn + lane_pad
+
+    W = Lblk + SK  # strip k's [Lblk+K] product lands at row offset k*K
+    acc0 = jnp.zeros((W, Bnp), dtype=jnp.uint32)
+
+    def body(acc, k):
+        off = k * K
+        strip = jax.lax.dynamic_slice(smallT, (off, 0), (K, Bnp))
+        prod = _clmul_pallas_T(bigT, strip, Lblk, K)  # [Lblk+K, Bnp]
+        win = jax.lax.dynamic_slice(acc, (off, 0), (Lblk + K, Bnp))
+        return jax.lax.dynamic_update_slice(acc, win ^ prod, (off, 0)), None
+
+    acc, _ = jax.lax.scan(body, acc0, jnp.arange(nstrips))
+
+    # recombine blocks at their global offsets (static, nblk XORs)
+    segs = acc[:, :Bn].reshape(W, nblk, B)
+    out_len = Lg + Ls
+    out = jnp.zeros((B, out_len), dtype=jnp.uint32)
+    for j in range(nblk):
+        seg = segs[:, j, :].T  # [B, W]
+        end = min(out_len, j * Lblk + W)
+        width = end - j * Lblk
+        out = out.at[:, j * Lblk : end].set(
+            out[:, j * Lblk : end] ^ seg[:, :width]
+        )
+    return out
 
 
 def _karatsuba_flat(small: jax.Array, big: jax.Array) -> jax.Array:

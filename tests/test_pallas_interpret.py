@@ -61,6 +61,44 @@ def test_clmul_kernel_interpreted():
 
 
 @pytest.mark.slow
+def test_clmul_scan_blocked_interpreted():
+    """The huge-operand blocked-scan path (round 4: compile-scalable
+    clmul for u32+ multiplication operands) against the big-int oracle,
+    with the threshold lowered so small shapes route through it -
+    balanced, unbalanced, non-multiple-of-block, and sub-128 batches
+    (the blocks-to-lanes packing)."""
+    _run(
+        {"HOMOMORPH_TPU_SCAN_MIN_TOTAL": "64"},
+        """
+        import numpy as np
+        import jax.numpy as jnp
+        from homomorph_tpu.gf2 import kernels as gf2k
+
+        def oracle(a_row, b_row):
+            ai = int.from_bytes(a_row.astype("<u4").tobytes(), "little")
+            bi = int.from_bytes(b_row.astype("<u4").tobytes(), "little")
+            r = 0
+            while bi:
+                low = bi & -bi
+                r ^= ai << (low.bit_length() - 1)
+                bi ^= low
+            return r
+
+        rng = np.random.default_rng(5)
+        for B, La, Lb in [(2, 100, 30), (8, 300, 290), (1, 517, 98),
+                          (4, 64, 64), (3, 2500, 700)]:
+            a = rng.integers(0, 1 << 32, size=(B, La), dtype=np.uint32)
+            b = rng.integers(0, 1 << 32, size=(B, Lb), dtype=np.uint32)
+            got = np.asarray(gf2k.clmul(jnp.asarray(a), jnp.asarray(b)))
+            for i in range(B):
+                gi = int.from_bytes(got[i].astype("<u4").tobytes(), "little")
+                assert gi == oracle(a[i], b[i]), (B, La, Lb, i)
+        print("blocked-scan clmul interpret OK")
+        """,
+    )
+
+
+@pytest.mark.slow
 def test_encrypt_kernel_interpreted():
     _run(
         {"HOMOMORPH_TPU_ENC_IMPL": "pallas"},
