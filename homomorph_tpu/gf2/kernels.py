@@ -123,16 +123,20 @@ _STRIP = 32  # strip width (limbs) when both operands exceed the kernel cap
 _KARATSUBA_MIN = 64
 FORCE_KARATSUBA = os.environ.get("HOMOMORPH_TPU_FORCE_KARATSUBA", "0") == "1"
 
-# Combined limb count above which products route to the blocked-scan path
-# (_clmul_scan_blocked).  Rationale: the inline Karatsuba recursion's
-# 3^depth sub-product expansion makes the TRACE (and XLA compile time)
-# explode at the operand sizes u32+ multiplication produces (hundreds of
-# thousands of limbs; a 50-minute compile was measured and killed), and
-# the pure-jnp path materializes [B, La, Lb] - memory-infeasible there.
-# Below the threshold the existing Karatsuba path is faster AND compiles
-# in seconds, so it keeps the u8-u16 hot shapes.  Env-overridable for
-# tests.
-_SCAN_TOTAL_MIN = int(os.environ.get("HOMOMORPH_TPU_SCAN_MIN_TOTAL", "8192"))
+# Shapes above these route to the blocked-scan path (_clmul_scan_blocked).
+# Rationale: the inline Karatsuba recursion's 3^depth sub-product
+# expansion makes the TRACE (and XLA compile time) explode at the operand
+# sizes u32+ multiplication produces (hundreds of thousands of limbs; a
+# 50-minute compile was measured and killed), and the pure-jnp path
+# materializes [B, La, Lb] - memory-infeasible there.  Thresholds are
+# placed JUST ABOVE the u16 multiplier's largest product (small operand
+# 2,881 limbs, total 19,265 - replayed from the csa plan), so every
+# shape benchmarked through round 3 keeps its measured Karatsuba path
+# bit-for-bit, while the u32 program's 78 giant products (small up to
+# 40,609 limbs, total up to 564,897) become compile-feasible.
+# Env-overridable for tests.
+_SCAN_SMALL_MIN = int(os.environ.get("HOMOMORPH_TPU_SCAN_MIN_SMALL", "4096"))
+_SCAN_TOTAL_MIN = int(os.environ.get("HOMOMORPH_TPU_SCAN_MIN_TOTAL", "20480"))
 _SCAN_BLOCK_LIMBS = 2048  # big-operand block (VMEM: (2*(2048+48))*128*4 ~ 2.1MB)
 
 
@@ -187,7 +191,9 @@ def _clmul_flat(af: jax.Array, bf: jax.Array) -> jax.Array:
     small, big = (af, bf) if La <= Lb else (bf, af)
     Ls, Lg = small.shape[1], big.shape[1]
 
-    if _kernel_enabled() and (Ls + Lg) > _SCAN_TOTAL_MIN:
+    if _kernel_enabled() and (
+        Ls > _SCAN_SMALL_MIN or (Ls + Lg) > _SCAN_TOTAL_MIN
+    ):
         return _clmul_scan_blocked(big, small)
 
     if Ls >= _KARATSUBA_MIN and (_kernel_enabled() or FORCE_KARATSUBA):

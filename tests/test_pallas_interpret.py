@@ -68,7 +68,7 @@ def test_clmul_scan_blocked_interpreted():
     balanced, unbalanced, non-multiple-of-block, and sub-128 batches
     (the blocks-to-lanes packing)."""
     _run(
-        {"HOMOMORPH_TPU_SCAN_MIN_TOTAL": "64"},
+        {"HOMOMORPH_TPU_SCAN_MIN_TOTAL": "64", "HOMOMORPH_TPU_SCAN_MIN_SMALL": "32"},
         """
         import numpy as np
         import jax.numpy as jnp
