@@ -103,6 +103,8 @@ def main() -> None:
     ap.add_argument("--json-only", action="store_true")
     ap.add_argument("--batch-bits", type=int, default=0, help="override bit batch")
     ap.add_argument("--skip-scaled", action="store_true")
+    ap.add_argument("--with-mul32", action="store_true",
+                    help="also run the u32 multiplier (minutes of compile)")
     args = ap.parse_args()
 
     import jax
@@ -376,6 +378,59 @@ def main() -> None:
         if dev_m16:
             log(f"hom. mul u16 device-busy: {dev_m16:,.1f} muls/s on-silicon")
 
+    # ---- homomorphic mul u32 (opt-in: --with-mul32) ----------------------
+    # u32 at the exact sound bound d/delta >= 5,873 (the reference circuit
+    # needs 4.4e8 - five orders past the representable field).  Operand
+    # ciphertexts reach ~550k limbs; products route through the blocked-
+    # scan clmul (gf2/kernels.py).  Eager dispatch (one compiled kernel
+    # per shape, persistently cached) because the single fused program's
+    # upload stalls this environment's tunnel; first run pays the
+    # per-shape compiles, reruns stream from the cache.
+    n_mul32 = 8 if getattr(args, "with_mul32", False) and not args.quick else 0
+    if n_mul32:
+        w32p = hm.Parameters(5888, 128, 1, 128)
+        w32ctx = hm.Context(w32p, source=hm.ThreefrySource(11))
+        w32ctx.generate_secret_key()
+        w32ctx.generate_public_key()
+        rng32 = np.random.default_rng(7)
+        xs32 = [int(v) for v in rng32.integers(0, 1 << 32, size=n_mul32)]
+        ys32 = [int(v) for v in rng32.integers(0, 1 << 32, size=n_mul32)]
+        w32a = w32ctx.encrypt(xs32, hm.U32, batch=True)
+        w32b = w32ctx.encrypt(ys32, hm.U32, batch=True)
+        from homomorph_tpu.models import HomomorphicMultiplication as _Mul
+
+        assert w32p.d // w32p.delta >= _Mul.requirement_for(w32a, w32b)
+
+        def mul32_step():
+            return circuits.mul_unsigned(w32a, w32b).limbs
+
+        t0 = time.perf_counter()
+        p32 = mul32_step()
+        jax.block_until_ready(p32)
+        t_first = time.perf_counter() - t0
+        got32 = [
+            int(v)
+            for v in w32ctx.decrypt(
+                hm.Ciphered(p32, int(p32.shape[-1]) * 32 - 1, hm.U32)
+            )
+        ]
+        want32 = [(x * y) & 0xFFFFFFFF for x, y in zip(xs32, ys32)]
+        if got32 != want32:
+            print("FATAL: on-chip u32 product decrypted incorrectly",
+                  file=sys.stderr)
+            sys.exit(1)
+        log(f"u32 product decrypts correctly on-chip (checked-API bound; "
+            f"first eval {t_first:.0f}s)")
+        t_m32 = _throughput(mul32_step, 2, warmup=0, label="mul_u32")
+        log(f"hom. mul u32: {n_mul32 / t_m32:,.3f} muls/s batched "
+            "(beyond any representable reference parameters)")
+        extras_mul32 = {
+            "mul_u32_per_s_batched": round(n_mul32 / t_m32, 4),
+            "mul_u32_first_eval_s": round(t_first, 1),
+        }
+    else:
+        extras_mul32 = {}
+
     extras = {
         "params": "d=128 dp=128 delta=64 tau=128",
         "batch_bits": B,
@@ -410,6 +465,7 @@ def main() -> None:
         extras["mul_u16_device_busy_per_s"] = (
             round(dev_m16, 2) if dev_m16 else None
         )
+    extras.update(extras_mul32)
 
     # ---- scaled config: d=dp=1024, tau=256, 1e5-bit bulk (BASELINE #5) ----
     if not args.skip_scaled and not args.quick:

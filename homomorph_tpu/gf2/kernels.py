@@ -258,49 +258,81 @@ def _clmul_scan_blocked(big: jax.Array, small: jax.Array) -> jax.Array:
     """
     B, Lg = big.shape
     Ls = small.shape[1]
+    out_len = Lg + Ls
+
+    # Coarse HALF-OCTAVE shape quantization ({2^k, 1.5*2^k} on both limb
+    # axes, pow-2 on the batch): the scan program costs minutes of
+    # XLA+Mosaic compile per distinct shape (measured ~140 s at
+    # (8,4096,2048)) while executing in ~ms, and the u32 multiplier
+    # produces dozens of distinct giant shapes - quantization collapses
+    # them to a handful of cached programs for <= 33% padding work.
+    def _half_octave(n: int) -> int:
+        k = max(n.bit_length() - 1, 5)
+        if n <= (1 << k):
+            return 1 << k
+        if n <= 3 * (1 << (k - 1)):
+            return 3 * (1 << (k - 1))
+        return 1 << (k + 1)
+
+    Bq = max(8, 1 << (B - 1).bit_length())
+    if Bq != B:
+        big = jnp.pad(big, [(0, Bq - B), (0, 0)])
+        small = jnp.pad(small, [(0, Bq - B), (0, 0)])
+    Lgq, Lsq = _half_octave(Lg), _half_octave(Ls)
+    big = _pad_cols(big, Lgq)
+    small = _pad_cols(small, Lsq)
+    Borig, B, Lg, Ls = B, Bq, Lgq, Lsq
+
     K = _MAX_SMALL_LIMBS
-    Lblk = min(Lg, _SCAN_BLOCK_LIMBS)
+    Lblk = min(max(Lg, K), _SCAN_BLOCK_LIMBS)
     nblk = -(-Lg // Lblk)
     nstrips = -(-Ls // K)
     SK = nstrips * K
+    Lgp = nblk * Lblk
 
-    # blocks -> lanes, block-major: lane index j*B + b holds block j of row b
-    bigp = _pad_cols(big, Lblk * nblk).reshape(B, nblk, Lblk)
+    # blocks -> lanes, block-major: lane index j*B + b holds block j of
+    # row b.  The big operand is the ONLY per-lane-expanded buffer; the
+    # small operand stays [SK, B] and is broadcast per strip inside the
+    # body (an early version tiled it nblk-fold up front and kept a
+    # per-block-window accumulator - ~30x the live memory, enough to OOM
+    # the chip on the u32 multiplier's product set).
+    bigp = _pad_cols(big, Lgp).reshape(B, nblk, Lblk)
     bigT = jnp.transpose(bigp, (2, 1, 0)).reshape(Lblk, nblk * B)
-    smallT = jnp.broadcast_to(
-        _pad_cols(small, SK).T[:, None, :], (SK, nblk, B)
-    ).reshape(SK, nblk * B)
+    smallT = _pad_cols(small, SK).T  # [SK, B]
     Bn = nblk * B
     lane_pad = (-Bn) % LANES
     if lane_pad:
         bigT = jnp.pad(bigT, [(0, 0), (0, lane_pad)])
-        smallT = jnp.pad(smallT, [(0, 0), (0, lane_pad)])
-    Bnp = Bn + lane_pad
 
-    W = Lblk + SK  # strip k's [Lblk+K] product lands at row offset k*K
-    acc0 = jnp.zeros((W, Bnp), dtype=jnp.uint32)
+    # global accumulator [B, W]: strip k contributes a [Lgp + Lblk]-wide
+    # window at limb offset k*K (block bodies tile contiguously; each
+    # block's K-limb tail lands in the next block's head)
+    W = Lgp + Lblk + SK
+    acc0 = jnp.zeros((B, W), dtype=jnp.uint32)
 
     def body(acc, k):
         off = k * K
-        strip = jax.lax.dynamic_slice(smallT, (off, 0), (K, Bnp))
-        prod = _clmul_pallas_T(bigT, strip, Lblk, K)  # [Lblk+K, Bnp]
-        win = jax.lax.dynamic_slice(acc, (off, 0), (Lblk + K, Bnp))
-        return jax.lax.dynamic_update_slice(acc, win ^ prod, (off, 0)), None
+        strip = jax.lax.dynamic_slice(smallT, (off, 0), (K, B))
+        stripT = jnp.broadcast_to(strip[:, None, :], (K, nblk, B)).reshape(
+            K, Bn
+        )
+        if lane_pad:
+            stripT = jnp.pad(stripT, [(0, 0), (0, lane_pad)])
+        prod = _clmul_pallas_T(bigT, stripT, Lblk, K)  # [Lblk+K, Bn+pad]
+        prod = prod[:, :Bn].reshape(Lblk + K, nblk, B)
+        # block bodies tile contiguously at j*Lblk; the K-limb tails sit
+        # at (j+1)*Lblk - one reshape each, then a shifted XOR
+        bodies = jnp.transpose(prod[:Lblk], (2, 1, 0)).reshape(B, Lgp)
+        tails = jnp.pad(prod[Lblk:], [(0, Lblk - K), (0, 0), (0, 0)])
+        tails = jnp.transpose(tails, (2, 1, 0)).reshape(B, Lgp)
+        contrib = jnp.pad(bodies, [(0, 0), (0, Lblk)]) ^ jnp.pad(
+            tails, [(0, 0), (Lblk, 0)]
+        )
+        win = jax.lax.dynamic_slice(acc, (0, off), (B, Lgp + Lblk))
+        return jax.lax.dynamic_update_slice(acc, win ^ contrib, (0, off)), None
 
     acc, _ = jax.lax.scan(body, acc0, jnp.arange(nstrips))
-
-    # recombine blocks at their global offsets (static, nblk XORs)
-    segs = acc[:, :Bn].reshape(W, nblk, B)
-    out_len = Lg + Ls
-    out = jnp.zeros((B, out_len), dtype=jnp.uint32)
-    for j in range(nblk):
-        seg = segs[:, j, :].T  # [B, W]
-        end = min(out_len, j * Lblk + W)
-        width = end - j * Lblk
-        out = out.at[:, j * Lblk : end].set(
-            out[:, j * Lblk : end] ^ seg[:, :width]
-        )
-    return out
+    return acc[:Borig, :out_len]
 
 
 def _karatsuba_flat(small: jax.Array, big: jax.Array) -> jax.Array:
