@@ -179,6 +179,16 @@ def _encrypt_fused(selw, pk_bits, plain, tau: int, L: int, v2: bool = True):
 _ENC_IMPL = os.environ.get("HOMOMORPH_TPU_ENC_IMPL", "xla")
 _USE_PALLAS_ENC = _ENC_IMPL in ("pallas", "pallas_v1")
 
+# B-axis segment for the lax.map encrypt pipeline (round 4): at large
+# batches the unsegmented pipeline is HBM-bound on the sel/counts
+# round-trips between its two matmuls (PERF.md round-2 model: 3.4 of
+# 3.5 GB/step); mapping the pipeline over 32k-bit segments lets XLA's
+# memory-space assignment keep each segment's intermediates VMEM-resident
+# - measured 371 -> 623 M bit-enc/s device-busy at B=2^21 on the v5e
+# (exp_enc_chunked.py; segment sweep 8k/32k/128k within a few %).
+# 0 disables segmentation.
+_ENC_SEGMENT = int(os.environ.get("HOMOMORPH_TPU_ENC_SEGMENT", "32768"))
+
 
 def encrypt_bits_fused(
     selw: jax.Array, pk_bits: jax.Array, plain: jax.Array, L: int
@@ -214,6 +224,28 @@ def encrypt_bits_fused(
             v2=(_ENC_IMPL != "pallas_v1"),
         )
     from ..cipher import _encrypt_core
+
+    # segmented pipeline: unpack + both matmuls per 32k-bit segment so the
+    # intermediates stay VMEM-resident (see _ENC_SEGMENT above).  The
+    # plaintext xor must stay OUTSIDE the map BODY - XLA fuses any
+    # elementwise consumer into the body, and one extra op after the pack
+    # matmul defeats the memory-space promotion that makes segmentation
+    # pay (measured 623 vs 386 M bit-enc/s); the optimization_barrier
+    # pins the xor on the far side for ~1 extra output pass (613 M with
+    # nonzero plaintexts).
+    seg = _ENC_SEGMENT
+    if seg and B > seg and B % seg == 0 and is_tpu_backend():
+        W = selw.shape[1]
+        acc = jnp.bfloat16 if tau <= 256 else jnp.float32
+
+        def one_segment(sw):
+            sel = gf2.unpack_bits(sw, tau, dtype=jnp.bfloat16)
+            counts = jnp.matmul(sel, pk_bits, preferred_element_type=acc)
+            return gf2.parity_pack(counts, L)
+
+        out = jax.lax.map(one_segment, selw.reshape(B // seg, seg, W))
+        out = jax.lax.optimization_barrier(out)
+        return gf2.xor_const_bit(out.reshape(B, L), plain.astype(U32))
 
     sel = gf2.unpack_bits(selw, tau, dtype=jnp.bfloat16)
     return _encrypt_core(sel, pk_bits, plain, L)
