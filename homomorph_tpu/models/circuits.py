@@ -766,8 +766,30 @@ def _csa_accumulate(
     clmul; sums are pure XORs that XLA fuses.  Compressors whose carry
     falls off column ``n-1`` (wrapping) skip their products entirely -
     only the affine sum survives.  Finishes with the two-row ripple add.
+
+    Memory discipline (round 4): dead intermediates are DROPPED as soon
+    as no later level (or the final ripple) references them - derived
+    statically from the plan.  Without this, eager execution of the u32
+    multiplier holds every historical bit id alive (gigabytes at its
+    100k+-limb late levels) and OOMs the chip.
+    ``HOMOMORPH_TPU_EAGER_SYNC=1`` additionally blocks after any level
+    whose outputs exceed 8192 limbs, bounding the async dispatch queue's
+    buffer pile-up on giant circuits.
     """
-    for level in plan.levels:
+    # liveness: ids needed at or after each level (scan backwards)
+    final_ids = {c[i] for c in plan.final_cols for i in range(min(2, len(c)))}
+    live_after: list[set] = [set(final_ids)]
+    for level in reversed(plan.levels):
+        needed = set(live_after[0])
+        for op in level:
+            needed.add(op.x)
+            needed.add(op.y)
+            if op.z is not None:
+                needed.add(op.z)
+        live_after.insert(0, needed)
+    sync = os.environ.get("HOMOMORPH_TPU_EAGER_SYNC", "0") == "1"
+
+    for li, level in enumerate(plan.levels):
         pairs: list[tuple[CipheredBit, CipheredBit, object]] = []
         for op in level:
             x, y = bits[op.x], bits[op.y]
@@ -794,6 +816,19 @@ def _csa_accumulate(
                     noise=max(p1.noise, p2.noise),
                 )
                 bits[op.carry] = _fit_bit(carry)
+        del prods, pairs
+        # drop everything the remaining levels + final ripple don't read
+        keep = live_after[li + 1]
+        for bid in [k for k in bits if k not in keep]:
+            del bits[bid]
+        if sync and any(
+            bits[op.sum].num_limbs > 8192 for op in level if op.sum in bits
+        ):
+            import jax
+
+            jax.block_until_ready(
+                [bits[op.sum].limbs for op in level if op.sum in bits]
+            )
     A = [bits[c[0]] if len(c) > 0 else None for c in plan.final_cols]
     B = [bits[c[1]] if len(c) > 1 else None for c in plan.final_cols]
     return _ripple_add_rows(A, B, batch)
