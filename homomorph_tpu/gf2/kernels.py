@@ -192,7 +192,13 @@ def _clmul_flat(af: jax.Array, bf: jax.Array) -> jax.Array:
     Ls, Lg = small.shape[1], big.shape[1]
 
     if _kernel_enabled() and (
-        Ls > _SCAN_SMALL_MIN or (Ls + Lg) > _SCAN_TOTAL_MIN
+        Ls > _SCAN_SMALL_MIN
+        or (Ls + Lg) > _SCAN_TOTAL_MIN
+        # low-batch mid-size products would fall through to the jnp path,
+        # which materializes [B, La, Lb] - gigabytes (OOMed the u32
+        # ripple's g precomputes at (8, ~16k, ~4k)); the scan path packs
+        # blocks onto the kernel's spare lanes instead
+        or (B < LANES and (Ls + Lg) > _MAX_TOTAL_LIMBS)
     ):
         return _clmul_scan_blocked(big, small)
 
