@@ -356,9 +356,27 @@ def decrypt_mask(s: jax.Array, s_degree: int, n_limbs: int) -> jax.Array:
     ``(C mod S)(0) = parity(popcount(C & w))`` - O(L) per bit instead of the
     reference's O(D*L) division (src/polynomial.rs:316-365 via
     src/cipher.rs:117-123).
+
+    Runs the same monic recurrence as :func:`reduction_rows` but emits
+    ONLY each row's constant bit: at u32-multiplication ciphertext sizes
+    (~25M bit positions) the full rows tensor is ~19 GB and exceeded the
+    chip's HBM; the mask itself is n_limbs u32s.
     """
-    rows = reduction_rows(s, s_degree, bit_capacity(n_limbs))
-    w_bits = (rows[:, 0] & 1).astype(jnp.uint8)
+    n_rows = bit_capacity(n_limbs)
+    Ls = limbs_for(s_degree)
+    sp = fit_limbs(s, Ls)
+    r0 = monomial(0, Ls)
+
+    def step(r, _):
+        shifted = shift_left_static(r, 1, Ls)
+        top = (
+            shifted[..., s_degree // LIMB_BITS]
+            >> jnp.asarray(s_degree % LIMB_BITS, U32)
+        ) & 1
+        nxt = shifted ^ (top[..., None] * sp)
+        return nxt, (r[..., 0] & 1).astype(jnp.uint8)
+
+    _, w_bits = lax.scan(step, r0, None, length=n_rows)
     return pack_bits(w_bits)
 
 
