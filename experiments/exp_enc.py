@@ -12,6 +12,9 @@ not MXU-bound (~0.9 ms of matmul at bf16 peak).  Variants:
   int8       - XLA with int8 sel storage (halved sel traffic)
 """
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
+
 import functools
 import time
 

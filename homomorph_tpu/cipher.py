@@ -427,9 +427,15 @@ class Ciphered:
         extension surface for custom operations (examples/simple_struct.rs).
         Accepts a list of :class:`CipheredBit` lanes (padded to the max
         degree class and stacked - their tracked ``noise`` carries over as
-        the lane-wise worst) or a pre-stacked limb tensor (``noise``
-        defaults to fresh; pass the composed value for non-fresh lanes so
-        the checked API keeps its envelope guarantee).
+        the lane-wise worst) or a pre-stacked limb tensor, for which BOTH
+        ``bound=`` and ``noise=`` are required: a raw tensor carries no
+        tracked metadata, and defaulting ``noise`` to fresh would let
+        circuit outputs silently regain a fresh envelope - exactly the
+        hole composition tracking closes.  Pass the lanes' composed noise
+        value, or ``noise=bound`` as the always-sound worst case (the
+        noise polynomial's degree never exceeds the ciphertext's; the
+        tracked unit is normalized delta=1, where ratio = degree + 1 -
+        models/noise.py::required_ratio).
         """
         if isinstance(bits, (list, tuple)):
             L = max(b.num_limbs for b in bits)
@@ -439,8 +445,14 @@ class Ciphered:
             return cls(stacked, bnd, desc, noise=nz)
         if bound is None:
             raise ValueError("bound= is required when passing a raw limb tensor")
-        return cls(bits, bound, desc,
-                   noise=FRESH_NOISE if noise is None else noise)
+        if noise is None:
+            raise ValueError(
+                "noise= is required when passing a raw limb tensor: a raw "
+                "tensor has no tracked envelope, and assuming fresh would "
+                "unsoundly reset it (pass the lanes' composed noise, or "
+                "noise=bound for the conservative worst case)"
+            )
+        return cls(bits, bound, desc, noise=noise)
 
     # -- decryption ----------------------------------------------------------
 

@@ -73,6 +73,15 @@ def compile_op2(
         return op.unsafe_apply(a, b).limbs
 
     def call(a: Ciphered, b: Ciphered) -> Ciphered:
+        # the compiled program was specialized on the declared operand
+        # noise; noisier operands would get an understated output stamp,
+        # silently weakening the checked envelope downstream
+        if a.noise > noise or b.noise > noise:
+            raise ValueError(
+                f"operand noise ({a.noise}, {b.noise}) exceeds the "
+                f"compiled declaration ({noise}); recompile with "
+                f"noise={max(a.noise, b.noise)}"
+            )
         if not out_meta:
             out_meta.update(
                 _derive_meta(op.unsafe_apply, bound, desc, a.limbs, b.limbs,
@@ -104,6 +113,11 @@ def compile_op1(
         return op.unsafe_apply(a).limbs
 
     def call(a: Ciphered) -> Ciphered:
+        if a.noise > noise:
+            raise ValueError(
+                f"operand noise ({a.noise}) exceeds the compiled "
+                f"declaration ({noise}); recompile with noise={a.noise}"
+            )
         if not out_meta:
             out_meta.update(
                 _derive_meta(op.unsafe_apply, bound, desc, a.limbs,

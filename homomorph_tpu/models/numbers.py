@@ -6,8 +6,8 @@ requirements (reference: src/impls/numbers.rs:7-50):
 =========================  ================  =============================
 Operation                  MIN_D_OVER_DELTA  Circuit
 =========================  ================  =============================
-HomomorphicAndGate         2                 lane-wise AND (common.rs:5-11)
-HomomorphicOrGate          2                 lane-wise OR  (common.rs:13-19)
+HomomorphicAndGate         2 (UNSOUND*)      lane-wise AND (common.rs:5-11)
+HomomorphicOrGate          2 (UNSOUND*)      lane-wise OR  (common.rs:13-19)
 HomomorphicXorGate         1                 lane-wise XOR (common.rs:21-27)
 HomomorphicNotGate         1                 lane-wise NOT (common.rs:29-35)
 HomomorphicAddition        21                ripple-carry  (common.rs:37-64)
@@ -16,6 +16,12 @@ HomomorphicMultiplication  64 (conservative) carry-save tree (csaplan.py;
                                              common.rs:66-163 kept as the
                                              oracle + below-width-8 path)
 =========================  ================  =============================
+
+(*) The class constants are kept for reference parity only; the checked
+API always validates the exact seeded bound via ``requirement_for``.
+For AND/OR even FRESH operands need ``d/delta >= 5`` - the published 2
+admits ``Parameters(4, 2, 1, 4)`` where a fresh AND's noise degree
+``2*(delta+1) = 4 = d`` escapes the envelope (NOISE.md §4).
 
 Extensions NOT in the reference (same trait machinery, see class docs):
 ``HomomorphicSubtraction`` (21), ``HomomorphicNegation`` (21),
@@ -71,17 +77,30 @@ def _all_fresh(operands) -> bool:
     return all(c.noise <= _FRESH for c in operands)
 
 
+def _and_or_requirement(operands) -> int:
+    """Exact seeded bound for one multiplicative gate: output noise is
+    ``na + nb`` (AND multiplies; OR = a+b+ab has the same worst term).
+    Applied to FRESH operands too - the reference's published constant 2
+    (src/impls/numbers.rs:29-31) is UNSOUND: at ``Parameters(4, 2, 1, 4)``
+    it admits a fresh AND whose noise degree ``2*(delta+1) = 4 = d``
+    escapes the envelope and decrypts to garbage on S(0)=1 keys (round-4
+    verdict reproduction; regression test in tests/test_noise_tracking.py).
+    """
+    return _noise.required_ratio(sum(_noises(operands)))
+
+
 class HomomorphicAndGate(HomomorphicOperation2):
+    """Lane-wise AND.  The class constant keeps the reference's published
+    2 for parity (src/impls/numbers.rs:29-31) and survives only as
+    documentation of the reference's (unsound) behaviour: the checked API
+    always validates the exact seeded bound (fresh operands need
+    ``d/delta >= 5``; NOISE.md §4)."""
+
     MIN_D_OVER_DELTA = 2
 
     @classmethod
     def requirement_for(cls, *operands: Ciphered) -> int:
-        # fresh operands keep the reference's published constant
-        # (src/impls/numbers.rs:29-31); COMPOSED operands escalate to the
-        # tracked-noise bound so chained gates stay inside the envelope
-        if _all_fresh(operands):
-            return cls.MIN_D_OVER_DELTA
-        return _noise.required_ratio(sum(_noises(operands)))
+        return _and_or_requirement(operands)
 
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
@@ -89,9 +108,15 @@ class HomomorphicAndGate(HomomorphicOperation2):
 
 
 class HomomorphicOrGate(HomomorphicOperation2):
+    """Lane-wise OR (a+b+ab): same exact bound as
+    :class:`HomomorphicAndGate` - the ``ab`` term dominates; the class
+    constant mirrors the reference's (unsound) published 2."""
+
     MIN_D_OVER_DELTA = 2
 
-    requirement_for = HomomorphicAndGate.requirement_for  # a+b+ab: same bound
+    @classmethod
+    def requirement_for(cls, *operands: Ciphered) -> int:
+        return _and_or_requirement(operands)
 
     @staticmethod
     def unsafe_apply(a: Ciphered, b: Ciphered) -> Ciphered:
@@ -99,6 +124,12 @@ class HomomorphicOrGate(HomomorphicOperation2):
 
 
 class HomomorphicXorGate(HomomorphicOperation2):
+    """Lane-wise XOR - genuinely degree-free (polynomial add): output
+    noise equals the noisier operand's, so on FRESH operands the gate
+    cannot introduce any failure encryption itself did not already admit
+    and the published constant 1 is kept (unlike AND/OR, audited sound).
+    Composed operands still validate the tracked absolute envelope."""
+
     MIN_D_OVER_DELTA = 1
 
     @classmethod
@@ -113,6 +144,10 @@ class HomomorphicXorGate(HomomorphicOperation2):
 
 
 class HomomorphicNotGate(HomomorphicOperation1):
+    """Lane-wise NOT (xor with the trivial one) - degree-free like XOR;
+    the fresh-operand published constant 1 is sound (see
+    :class:`HomomorphicXorGate`)."""
+
     MIN_D_OVER_DELTA = 1
 
     @classmethod

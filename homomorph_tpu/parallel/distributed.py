@@ -104,17 +104,18 @@ def broadcast_keys(ctx) -> None:
     sk = ctx.get_secret_key() if is_src else None
     pk = ctx.get_public_key() if is_src else None
     sk_bytes = bcast_bytes(sk.to_bytes() if sk is not None else None)
-    if pk is not None or not is_src:
-        rows = pk.to_bytes() if is_src else None
-        n_rows = np.asarray([len(rows) if rows else 0], dtype=np.int64)
-        n_rows = int(
-            multihost_utils.broadcast_one_to_all(n_rows, is_source=is_src)[0]
-        )
-        pk_rows = [
-            bcast_bytes(rows[i] if is_src else None) for i in range(n_rows)
-        ]
-    else:
-        pk_rows = []
+    # every process participates in the n_rows broadcast unconditionally
+    # (source sends 0 when it holds no pk, mirroring bcast_bytes' sk=None
+    # handling): a source-side skip would desynchronize every subsequent
+    # collective on the non-source processes
+    rows = pk.to_bytes() if is_src and pk is not None else None
+    n_rows = np.asarray([len(rows) if rows else 0], dtype=np.int64)
+    n_rows = int(
+        multihost_utils.broadcast_one_to_all(n_rows, is_source=is_src)[0]
+    )
+    pk_rows = [
+        bcast_bytes(rows[i] if is_src else None) for i in range(n_rows)
+    ]
     if not is_src:
         if sk_bytes:
             ctx.set_secret_key(SecretKey.from_bytes(sk_bytes))
@@ -155,7 +156,7 @@ def save_sharded(directory: str, ciphered, *, name: str = "ciphertext") -> None:
     """Checkpoint a (possibly sharded, possibly multi-process) ciphertext.
 
     Each process writes ONLY its addressable shards
-    (``<name>.shard<k>.npz`` with the global index recorded), plus a
+    (``<name>.p<pid>s<k>.npz`` with the global index recorded), plus a
     manifest on process 0 - so a pod-wide ciphertext checkpoints without
     gathering (a gather is impossible for arrays spanning processes).
     Restore with :func:`load_sharded` under a mesh with the same global
@@ -210,7 +211,7 @@ def load_sharded(directory: str, desc, *, name: str = "ciphertext"):
     must be the plaintext descriptor the ciphertext was built with (the
     manifest records its name for validation).
     """
-    from ..cipher import Ciphered
+    from ..cipher import FRESH_NOISE, Ciphered
     from ..utils.errors import DeserializeError
 
     with open(os.path.join(directory, f"{name}.json")) as f:
@@ -241,5 +242,5 @@ def load_sharded(directory: str, desc, *, name: str = "ciphertext"):
         manifest["bound"],
         desc,
         zero_lanes=manifest["zero_lanes"],
-        noise=manifest.get("noise", 2),
+        noise=manifest.get("noise", FRESH_NOISE),
     )

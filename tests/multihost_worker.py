@@ -82,7 +82,8 @@ def main() -> None:
 
     ckpt_dir = os.path.join(tempfile.gettempdir(), f"hmckpt_{port}")
     wrapped = hm.Ciphered.new_from_raw(ct, hm.BytesDescriptor(B * n // 8),
-                                       bound=params.pk_degree)
+                                       bound=params.pk_degree,
+                                       noise=hm.cipher.FRESH_NOISE)
     distributed.save_sharded(ckpt_dir, wrapped, name="mh")
     # rendezvous: both processes must have written before anyone loads
     from jax.experimental import multihost_utils

@@ -22,14 +22,17 @@ def make_ctx(d, dp, delta, tau, seed=0):
 
 
 class TestGates:
-    # uint.rs:108-174 truth tables at (32,8,8,8) / (32,16,16,16)
+    # uint.rs:108-174 truth tables at (32,8,8,8) / (32,16,16,16); the
+    # AND/OR contexts use d=40 because the checked API now validates the
+    # exact fresh bound d >= 5*delta (the reference's published 2 is
+    # unsound - models/numbers.py, NOISE.md §4)
     def test_and(self):
-        ctx = make_ctx(32, 8, 8, 8)
+        ctx = make_ctx(40, 8, 8, 8)
         a, b = ctx.encrypt(0b1010, hm.U8), ctx.encrypt(0b1100, hm.U8)
         assert ctx.decrypt(ctx.apply2(HomomorphicAndGate, a, b)) == 0b1000
 
     def test_or(self):
-        ctx = make_ctx(32, 8, 8, 8)
+        ctx = make_ctx(40, 8, 8, 8)
         a, b = ctx.encrypt(0b1010, hm.U8), ctx.encrypt(0b1100, hm.U8)
         assert ctx.decrypt(ctx.apply2(HomomorphicOrGate, a, b)) == 0b1110
 
@@ -46,8 +49,8 @@ class TestGates:
         assert ctx.decrypt(ctx.apply1(HomomorphicNotGate, a)) == 0b11110011
 
     def test_signed_gates(self):
-        # int.rs gate tests
-        ctx = make_ctx(32, 8, 8, 8)
+        # int.rs gate tests (d=40: checked AND needs d >= 5*delta)
+        ctx = make_ctx(40, 8, 8, 8)
         a, b = ctx.encrypt(0b1010, hm.I8), ctx.encrypt(0b1100, hm.I8)
         assert ctx.decrypt(ctx.apply2(HomomorphicAndGate, a, b)) == 0b1000
 
@@ -494,7 +497,7 @@ class TestAllWidthGates:
             v &= mask
             return v - (1 << nbits) if desc.signed and v >> (nbits - 1) else v
 
-        ctx = make_ctx(32, 8, 8, 8, seed=hash(tname) % 1000)
+        ctx = make_ctx(40, 8, 8, 8, seed=hash(tname) % 1000)
         a, b = ctx.encrypt(x, desc), ctx.encrypt(y, desc)
         got_and = int(ctx.decrypt(ctx.apply2(HomomorphicAndGate, a, b)))
         got_xor = int(ctx.decrypt(ctx.apply2(HomomorphicXorGate, a, b)))

@@ -105,7 +105,8 @@ class TestKeyByteInterop:
                 limbs[i, : r.size] = r
             desc = hm.BytesDescriptor(len(rows) // 8)
             c = hm.Ciphered.new_from_raw(
-                jax.numpy.asarray(limbs), desc, bound=p["d"] + p["dp"]
+                jax.numpy.asarray(limbs), desc, bound=p["d"] + p["dp"],
+                noise=hm.cipher.FRESH_NOISE,  # recorded-stream fresh ciphertexts
             )
             assert c.decipher(sk) == bytes.fromhex(pt_hex)
 
