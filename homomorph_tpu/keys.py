@@ -131,13 +131,29 @@ class SecretKey:
 
     # -- reduction caches (TPU decrypt fast path) ---------------------------
 
+    #: Degree classes >= this many limbs compute the decrypt mask on the
+    #: HOST via the native engine: the device recurrence is a sequential
+    #: 32*n_limbs-step scan (minutes of device time at u32-product sizes,
+    #: ~25M steps - the round-4 end-to-end blocker), while the native loop
+    #: takes seconds and only the n_limbs*4-byte mask moves to the device.
+    NATIVE_MASK_MIN_LIMBS = 1 << 15
+
     def decrypt_mask(self, n_limbs: int) -> jax.Array:
         """Packed ``w`` with ``w_i = (X^i mod S)(0)`` for ciphertexts of
-        ``n_limbs`` limbs; cached per degree class."""
+        ``n_limbs`` limbs; cached per degree class.  Large classes route
+        through the native host engine (bit-identical recurrence; parity
+        test in tests/test_native.py)."""
         self._check_alive()
         w = self._mask_cache.get(n_limbs)
         if w is None:
-            w = gf2.decrypt_mask(self._limbs, self._degree, n_limbs)
+            if n_limbs >= self.NATIVE_MASK_MIN_LIMBS:
+                from . import native as _native
+
+                host = _native.decrypt_mask(self._host, self._degree, n_limbs)
+                if host is not None:
+                    w = jnp.asarray(host)
+            if w is None:
+                w = gf2.decrypt_mask(self._limbs, self._degree, n_limbs)
             self._mask_cache[n_limbs] = w
         return w
 

@@ -23,16 +23,23 @@ def _load() -> ctypes.CDLL | None:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO):
+    src = os.path.join(_DIR, "gf2_native.cpp")
+    stale = not os.path.exists(_SO) or (
+        os.path.exists(src) and os.path.getmtime(_SO) < os.path.getmtime(src)
+    )
+    if stale:
         try:
             subprocess.run(
-                ["make", "-C", _DIR, "-s"],
+                ["make", "-C", _DIR, "-s", "-B"],
                 check=True,
                 capture_output=True,
                 timeout=120,
             )
         except Exception:
-            return None
+            if not os.path.exists(_SO):
+                return None  # no compiler and no prebuilt library
+            # a prebuilt-but-stale library still serves the entry points
+            # it has; callers hasattr-gate the newer ones
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
@@ -50,6 +57,8 @@ def _load() -> ctypes.CDLL | None:
     lib.gf2_decrypt_batch.argtypes = [u64p, i64, i64, u64p, u8p]
     lib.gf2_encrypt_batch.argtypes = [u64p, i64, i64, u8p, u8p, i64, u64p]
     lib.gf2_reduction_rows.argtypes = [u64p, i64, i64, i64, u64p]
+    if hasattr(lib, "gf2_decrypt_mask"):
+        lib.gf2_decrypt_mask.argtypes = [u64p, i64, i64, i64, u64p]
     _lib = lib
     return lib
 
@@ -107,6 +116,29 @@ def rem(c: np.ndarray, s: np.ndarray, s_degree: int) -> np.ndarray:
         return np.frombuffer(ci.to_bytes(Lc * 4, "little"), dtype=np.uint32).copy()
     lib.gf2_rem(cw, cw.size, sw, sw.size, s_degree)
     return _to_limbs(cw, Lc)
+
+
+def decrypt_mask(s: np.ndarray, s_degree: int, n_limbs: int) -> np.ndarray | None:
+    """Host-side decrypt mask: ``w_i = (X^i mod S)(0)`` bit-packed into
+    ``n_limbs`` uint32 limbs.
+
+    The device recurrence (gf2/poly.py::decrypt_mask) is a 32*n_limbs-step
+    sequential scan - minutes of device time (and a tunnel-worker killer)
+    at u32-product sizes (~25M rows); this native loop does the same monic
+    recurrence in a few seconds of host time with a single-row workspace,
+    and only the ~n_limbs*4-byte mask ever moves to the device.  Returns
+    ``None`` when the native library is unavailable (callers fall back to
+    the device scan) - a stale ``libgf2native.so`` predating this entry
+    point also falls back.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "gf2_decrypt_mask"):
+        return None
+    n_rows = n_limbs * 32
+    sw = np.ascontiguousarray(_to_words(np.asarray(s, dtype=np.uint32)))
+    out = np.zeros((n_rows + 63) // 64, dtype=np.uint64)
+    lib.gf2_decrypt_mask(sw, sw.size, s_degree, n_rows, out)
+    return _to_limbs(out, n_limbs)
 
 
 def decrypt_batch(c: np.ndarray, w: np.ndarray) -> np.ndarray:

@@ -112,6 +112,33 @@ void gf2_encrypt_batch(const uint64_t* pk, int64_t tau, int64_t nl,
     }
 }
 
+// Decrypt mask: bit i of out = (X^i mod S)(0) for i < n_rows, bit-packed
+// LSB-first into out ((n_rows+63)/64 words, caller-zeroed).  Same monic
+// recurrence as gf2_reduction_rows but with a single-row workspace: at
+// u32-product sizes (~25M rows) the full rows table is ~19 GB while the
+// mask is n_rows bits - this is the host-side path that lets the TPU
+// decrypt megabit ciphertexts without a device-side 25M-step scan
+// (the mask uploads once; decryption stays a device popcount-parity).
+void gf2_decrypt_mask(const uint64_t* s, int64_t ns, int64_t sd,
+                      int64_t n_rows, uint64_t* out) {
+    int64_t nw = sd / 64 + 1;
+    uint64_t* r = new uint64_t[nw]();
+    r[0] = 1;
+    for (int64_t i = 0; i < n_rows; ++i) {
+        out[i / 64] |= (r[0] & 1ULL) << (i % 64);
+        uint64_t carry = 0;
+        for (int64_t j = 0; j < nw; ++j) {
+            uint64_t nv = (r[j] << 1) | carry;
+            carry = r[j] >> 63;
+            r[j] = nv;
+        }
+        if (r[sd / 64] >> (sd % 64) & 1) {
+            for (int64_t j = 0; j < ns && j < nw; ++j) r[j] ^= s[j];
+        }
+    }
+    delete[] r;
+}
+
 // Reduction rows: rows[i] = X^i mod S packed into ns words, for i < n_rows.
 // S monic of exact degree sd.  (The table behind the linear-map decrypt.)
 void gf2_reduction_rows(const uint64_t* s, int64_t ns, int64_t sd,

@@ -66,3 +66,33 @@ def test_encrypt_batch_matches_device(rng):
         _encrypt_core(jnp.asarray(sel), pk_bits, jnp.asarray(x.astype(np.uint32)), L)
     )
     assert (dev == nat).all()
+
+
+def test_decrypt_mask_matches_device(rng):
+    # the host-side mask (single-row-workspace recurrence) must be
+    # bit-identical to the device scan - it is the round-5 path that
+    # decrypts u32-product-scale ciphertexts without a 25M-step device scan
+    for sdeg in (5, 40, 130):
+        s_int = (1 << sdeg) | int(rng.integers(0, 1 << min(sdeg, 30)))
+        nby = sdeg // 8 + 1
+        nby += (-nby) % 4
+        s = np.frombuffer(s_int.to_bytes(nby, "little"), dtype=np.uint32).copy()
+        for L in (1, 7, 64):
+            dev = np.asarray(gf2.decrypt_mask(jnp.asarray(s), sdeg, L))
+            nat = native.decrypt_mask(s, sdeg, L)
+            assert nat is not None
+            assert (dev == nat).all(), (sdeg, L)
+
+
+def test_secret_key_routes_large_classes_to_native(monkeypatch, rng):
+    import homomorph_tpu as hm
+    from homomorph_tpu.keys import SecretKey
+
+    ctx = hm.Context(hm.Parameters(64, 16, 1, 16), source=hm.ThreefrySource(4))
+    ctx.generate_secret_key()
+    sk = ctx.get_secret_key()
+    L = 24
+    want = np.asarray(gf2.decrypt_mask(sk.limbs, sk.degree, L))
+    monkeypatch.setattr(SecretKey, "NATIVE_MASK_MIN_LIMBS", 8)
+    got = np.asarray(sk.decrypt_mask(L))
+    assert (want == got).all()
