@@ -11,10 +11,11 @@ encrypt/decrypt rates for the d=dp=1024, tau=256 BASELINE config with the
 HBM traffic model next to them.
 """
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 
 import sys
 

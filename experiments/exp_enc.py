@@ -15,6 +15,7 @@ not MXU-bound (~0.9 ms of matmul at bf16 peak).  Variants:
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 
+
 import functools
 import time
 

@@ -23,10 +23,11 @@ Each variant is checked bit-exact against baseline, then timed wall +
 device-busy (profiler).  Run on TPU: python exp_enc_chunked.py
 """
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 
 import time
 

@@ -13,10 +13,11 @@ u16 runs the tree only (the reference circuit's noise units put its
 intermediate ciphertext degrees ~19x higher - measured here as time).
 """
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 
 from __future__ import annotations
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 
 import sys
 import time

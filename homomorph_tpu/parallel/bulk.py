@@ -30,12 +30,34 @@ __all__ = ["sharded_encrypt_bits", "sharded_decrypt_bits", "sharded_gate_xor"]
 
 
 def _encrypt_local(sel, pk_bits, plain_bits, out_limbs: int):
-    """Per-shard body: partial counts -> psum over tau -> parity -> pack."""
+    """Per-shard body: partial counts -> combine over tau -> parity limbs.
+
+    Parity is a mod-2 homomorphism: ``parity(sum_s counts_s) =
+    XOR_s parity(counts_s)``, so each shard parity-packs its OWN partial
+    counts to u32 limbs and the tau collective runs in the PACKED domain -
+    a butterfly (recursive-doubling) XOR all-reduce via ``ppermute``,
+    moving ``D/8 * log2(n)`` bytes per bit instead of the f32 counts
+    psum's ``~2*(n-1)/n * 4*D`` (32x less at n=2, ~19x at n=8; the
+    round-5 analytic model in experiments/exp_scaling_model.py shows the
+    counts-domain psum is ICI-bound at the headline config while the
+    packed-domain butterfly keeps tau sharding >=80% efficient).
+    Non-power-of-two tau meshes keep the exact counts psum (the butterfly
+    pairing needs i ^ step to stay in range).
+    """
     part = jnp.matmul(
         sel.astype(jnp.bfloat16), pk_bits, preferred_element_type=jnp.float32
     )
-    counts = jax.lax.psum(part, TAU_AXIS)
-    limbs = gf2.parity_pack(counts, out_limbs)
+    n_tau = jax.lax.axis_size(TAU_AXIS)
+    if n_tau & (n_tau - 1) == 0 and n_tau > 1:
+        limbs = gf2.parity_pack(part, out_limbs)  # per-shard parity (exact)
+        step = 1
+        while step < n_tau:
+            perm = [(i, i ^ step) for i in range(n_tau)]
+            limbs = limbs ^ jax.lax.ppermute(limbs, TAU_AXIS, perm)
+            step *= 2
+    else:
+        counts = jax.lax.psum(part, TAU_AXIS)
+        limbs = gf2.parity_pack(counts, out_limbs)
     return gf2.xor_const_bit(limbs, plain_bits.astype(jnp.uint32))
 
 
@@ -61,6 +83,11 @@ def _sharded_encrypt(cfg: ShardingConfig, sel, pk_bits, plain_bits, out_limbs: i
             P(DATA_AXIS, None),
         ),
         out_specs=P(DATA_AXIS, None, None),
+        # the butterfly XOR all-reduce ends tau-invariant (every shard
+        # holds the same XOR of all partials), but ppermute outputs are
+        # axis-varying to the static replication checker; correctness is
+        # asserted by the sharded-vs-dense bit-identity tests
+        check_vma=False,
     )
     return fn(sel, pk_bits, plain_bits)
 
