@@ -115,12 +115,19 @@ _STRIP = 32  # strip width (limbs) when both operands exceed the kernel cap
 
 # smaller-operand limb count above which Karatsuba splitting beats the
 # schoolbook strips: each level turns one LxL product into three (L/2)x(L/2)
-# products (25% less limb work) plus O(L) XORs, and recursion compounds -
-# 384-limb operands (common in the multiplier circuits) do 2.4x less work.
+# products (25% less limb work) plus O(L) XORs, and recursion compounds.
+# The floor sets the RECURSION BASE CASE: below it, products run as strip
+# sweeps whose (Lb+1) read-modify-write passes cover the full big-operand
+# row extent - at tiny rows the kernel is per-pass-overhead-bound, so
+# recursing all the way down (the round-3 value, 64) drives the u16
+# multiplier's ripple into thousands of ~46-limb base products running
+# far off the VPU roofline.  Tunable for measurement
+# (HOMOMORPH_TPU_KARATSUBA_MIN); default re-measured in round 5 on the
+# u16 multiplier (see PERF.md round-5 ripple section).
 # TPU-only: on XLA:CPU the unrolled 3^k-subcall recursion balloons compile
 # time far past the compute it saves (tests set FORCE_KARATSUBA for
 # coverage).
-_KARATSUBA_MIN = 64
+_KARATSUBA_MIN = int(os.environ.get("HOMOMORPH_TPU_KARATSUBA_MIN", "64"))
 FORCE_KARATSUBA = os.environ.get("HOMOMORPH_TPU_FORCE_KARATSUBA", "0") == "1"
 
 # Shapes above these route to the blocked-scan path (_clmul_scan_blocked).
@@ -217,7 +224,12 @@ def _clmul_flat(af: jax.Array, bf: jax.Array) -> jax.Array:
             return out
         return _karatsuba_flat(small, big)
 
-    if not _kernel_enabled() or B < LANES or (Ls + Lg) > _MAX_TOTAL_LIMBS:
+    if _kernel_enabled() and (Ls + Lg) > _MAX_TOTAL_LIMBS:
+        # too big for one VMEM-resident strip sweep but below (or diverted
+        # from) the Karatsuba branch: the blocked scan handles any shape
+        # with bounded VMEM (the jnp fallback would materialize [B,La,Lb])
+        return _clmul_scan_blocked(big, small)
+    if not _kernel_enabled() or B < LANES:
         return gf2.clmul_chunked(af, bf)
 
     pad = (-B) % LANES
