@@ -227,15 +227,39 @@ def encrypt_bits_fused(
 
     # segmented pipeline: unpack + both matmuls per 32k-bit segment so the
     # intermediates stay VMEM-resident (see _ENC_SEGMENT above).  The
-    # plaintext xor must stay OUTSIDE the map BODY - XLA fuses any
-    # elementwise consumer into the body, and one extra op after the pack
-    # matmul defeats the memory-space promotion that makes segmentation
-    # pay (measured 623 vs 386 M bit-enc/s); the optimization_barrier
-    # pins the xor on the far side for ~1 extra output pass (613 M with
-    # nonzero plaintexts).
+    # plaintext is folded INTO the counts matmul as one extra public-key
+    # row e_0 selected by the plaintext bit: parity(count + plain) flips
+    # exactly the constant-term bit, so no elementwise op follows the
+    # pack matmul at all (round 4 had to pin a post-map xor behind an
+    # optimization_barrier - any elementwise consumer fused into the map
+    # body defeats the VMEM promotion, and the barrier'd xor still cost
+    # an extra output pass: 613 vs 623 M bit-enc/s).  bf16 counts stay
+    # exact only up to 256, so the extra row requires tau + 1 <= 256;
+    # larger tau keeps the barrier'd-xor path with f32 counts.
     seg = _ENC_SEGMENT
     if seg and B > seg and B % seg == 0 and is_tpu_backend():
         W = selw.shape[1]
+        fold_plain = tau + 1 <= 256
+        if fold_plain:
+            D = pk_bits.shape[1]
+            e0 = jnp.zeros((1, D), dtype=pk_bits.dtype).at[0, 0].set(1)
+            pk_ext = jnp.concatenate([pk_bits, e0], axis=0)
+            plain_seg = plain.reshape(B // seg, seg).astype(jnp.bfloat16)
+
+            def one_segment(args):
+                sw, pb = args
+                sel = gf2.unpack_bits(sw, tau, dtype=jnp.bfloat16)
+                sel = jnp.concatenate([sel, pb[:, None]], axis=1)
+                counts = jnp.matmul(
+                    sel, pk_ext, preferred_element_type=jnp.bfloat16
+                )
+                return gf2.parity_pack(counts, L)
+
+            out = jax.lax.map(
+                one_segment, (selw.reshape(B // seg, seg, W), plain_seg)
+            )
+            return out.reshape(B, L)
+
         acc = jnp.bfloat16 if tau <= 256 else jnp.float32
 
         def one_segment(sw):

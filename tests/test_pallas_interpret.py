@@ -126,3 +126,38 @@ def test_encrypt_kernel_interpreted():
         print("encrypt kernel interpret OK")
         """,
     )
+
+
+def test_segmented_encrypt_plain_fold_matches_core(monkeypatch):
+    # round-5 segmented path: the plaintext bit is folded into the counts
+    # matmul as an extra e_0 pk row (no post-map xor); must be
+    # bit-identical to _encrypt_core for nonzero plaintexts.  The branch
+    # is TPU-gated, so force the gate and shrink the segment for CPU.
+    import numpy as np
+    import jax.numpy as jnp
+
+    import homomorph_tpu as hm
+    from homomorph_tpu.cipher import _encrypt_core
+    from homomorph_tpu.gf2 import encrypt_kernel as ek
+    from homomorph_tpu.gf2 import poly as gf2
+
+    monkeypatch.setattr(ek, "is_tpu_backend", lambda: True)
+    monkeypatch.setattr(ek, "_ENC_SEGMENT", 64)
+    params = hm.Parameters(64, 16, 1, 32)
+    ctx = hm.Context(params, source=hm.ThreefrySource(0))
+    ctx.generate_secret_key()
+    ctx.generate_public_key()
+    pk = ctx.get_public_key()
+    L = gf2.limbs_for(params.pk_degree)
+    B, W = 256, 1
+    rng = np.random.default_rng(3)
+    selw = jnp.asarray(rng.integers(0, 2**32, (B, W), dtype=np.uint32))
+    plain = jnp.asarray(rng.integers(0, 2, B).astype(np.uint32))
+    got = np.asarray(ek.encrypt_bits_fused(selw, pk.bit_planes(), plain, L))
+    sel = gf2.unpack_bits(selw, params.tau)
+    want = np.asarray(_encrypt_core(sel, pk.bit_planes(), plain, L))
+    assert (got == want).all()
+    # decrypt side: the folded constant-term flip round-trips
+    sk = ctx.get_secret_key()
+    bits = np.asarray(gf2.decipher_bits(jnp.asarray(got), sk.decrypt_mask(L)))
+    assert (bits == np.asarray(plain)).all()
