@@ -197,7 +197,11 @@ class HomomorphicMultiplication(HomomorphicOperation2):
     where it is tighter): u8 needs d/delta >= 149, u16 1,013, u32 5,873,
     u64 33,377 - all inside the representable parameter space, so wide
     products now clear the checked API (the reference circuit allowed
-    only u8).  Beyond-envelope parameters remain available via
+    only u8).  Execution status (round 5): u8/u16/u32 are EXECUTED
+    end-to-end on chip - encrypt, checked gate, tree circuit, decrypt,
+    assert (u32 at Parameters(5888,128,1,128): 8 random pairs, product
+    786,432 limbs/lane, MUL32_r05.json); u64 feasibility arithmetic in
+    NOISE.md §4.  Beyond-envelope parameters remain available via
     ``unsafe_apply`` (where correctness additionally requires a secret
     key with S(0) = 0 - see NOISE.md)."""
 
