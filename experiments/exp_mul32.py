@@ -5,9 +5,11 @@ tree bound - models/noise.py::mul_noise_degree).
 The reference calls homomorphic multiplication "uncomfortably long" at u8
 and cannot run u16+ at all (its column-accumulation bound is 19,348 at
 u16 and 4.4e8 at u32 - beyond the u16 parameter field).  The carry-save
-tree (models/csaplan.py) brings u16 to d/delta >= 1,013 and u32 to 5,873,
-inside the representable space.  This measures what those wide products
-actually cost on one v5e chip.
+tree (models/csaplan.py) with the round-5 majority-form ripple brings
+u16 to d/delta >= 417 and u32 to 2,385, inside the representable space.
+This measures what those wide products actually cost on one v5e chip.
+(Round 4's m-form bounds were 1,013 / 5,873; MUL32_r05.json's first
+execution ran at d=5888 under that older envelope.)
 
 Run on TPU:  python exp_mul32.py [u16|u32|both]
 """
@@ -43,11 +45,13 @@ def _device(fn, reps=2):
 
 CONFIGS = {
     # width: (d, B) - d chosen just above the exact tree bound at delta=1
-    # (u16: 1,013, u32: 5,873); dp/tau kept at the headline 128.
+    # (round 5: u16: 417, u32: 2,385); dp/tau kept at the headline 128.
+    # u16 stays at the round-3/4 bench config d=1024 for like-for-like
+    # BENCH comparability (417 would also be sound now).
     "u16": (1024, 512),
-    # u32 final ciphertexts are ~100 MB/value (degree ~2.4e7); B=8 keeps
-    # the result + tree intermediates inside one chip's HBM
-    "u32": (5888, 8),
+    # u32 at the round-5 sound bound: product 95,361 limbs/lane (the
+    # round-4 envelope d=5888 gave 786,432); B=8 fits easily in HBM
+    "u32": (2432, 8),
 }
 
 

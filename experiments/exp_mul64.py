@@ -2,15 +2,14 @@
 
 The reference cannot express u64 multiplication at any parameters (its
 column circuit's bound is 3.9e17, src/impls/numbers/uint.rs:96 vs the
-u16 parameter field); the carry-save tree needs d/delta >= 33,377 -
-representable (d is u16).  Round-5 feasibility arithmetic (NOISE.md §4):
+u16 parameter field); the carry-save tree with the round-5 majority
+ripple needs d/delta >= 13,373 - representable (d is u16).  Round-5
+feasibility arithmetic (NOISE.md §4b):
 
-* product degree 559,648,768 = 17,489,025 limbs/lane -> 4.48 GB for the
-  64-lane product at B=1 (fits one v5e's 16 GB HBM; B=8 would be 36 GB);
-* summed clmul speed-of-light ~248 s at B=1 (99% in the final ripple) -
-  time-feasible, unlike the months a naive estimate suggested;
-* decrypt mask: ~560M-row native host recurrence (gf2_decrypt_mask),
-  minutes of host time, ~70 MB uploaded.
+* product degree 90,287,744 = 2,821,493 limbs/lane -> 0.72 GB for the
+  64-lane product at B=1 (round 4's m-form circuit: 4.48 GB);
+* decrypt mask: ~90M-row native host recurrence (gf2_decrypt_mask),
+  then the standard on-device popcount-parity decrypt.
 
 Run on TPU:  EXP_MUL_EAGER=1 HOMOMORPH_TPU_EAGER_SYNC=1 \
              python experiments/exp_mul64.py
@@ -32,7 +31,7 @@ def run() -> None:
     from homomorph_tpu.models import HomomorphicMultiplication, circuits
 
     hm.enable_compilation_cache()
-    d = 33408  # >= exact tree bound 33,377 (models/noise.py), 128 | d
+    d = 13440  # >= exact tree bound 13,373 (models/noise.py), 128 | d
     mp = hm.Parameters(d, 128, 1, 128)
     ctx = hm.Context(mp, source=hm.ThreefrySource(11))
     t0 = time.perf_counter()

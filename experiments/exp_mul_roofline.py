@@ -152,22 +152,30 @@ def run(width: str) -> None:
                     pairs_wb.append((bit_limbs(max(bx, by)), bit_limbs(bz)))
                     bound[op.carry] = sum(sorted((bx, by, bz))[-2:])
         sol[f"level{k}"] = group_sol(pairs_wb)
-    # final ripple: g/m precomputes + the sequential c chain
-    A = [bound[c[0]] if len(c) > 0 else 0 for c in plan.final_cols]
-    Bb = [bound[c[1]] if len(c) > 1 else 0 for c in plan.final_cols]
+    # final ripple (round-5 majority x-form, circuits._ripple_add_rows):
+    # g = a*b only for two-row columns; chain step is x*c with
+    # x = a ^ b the sum lane itself (single-row columns skip g entirely)
+    A = [bound[c[0]] if len(c) > 0 else None for c in plan.final_cols]
+    Bb = [bound[c[1]] if len(c) > 1 else None for c in plan.final_cols]
     rip = []
     carry = None
     for i in range(n - 1):
         ga, gb = A[i], Bb[i]
-        g = ga + gb
-        rip.append((bit_limbs(ga), bit_limbs(gb)))              # g = a*b
-        m = max(ga, gb) + g
-        rip.append((bit_limbs(max(ga, gb)), bit_limbs(g)))      # m = x*(g^1)
+        if ga is None and gb is not None:
+            ga, gb = gb, ga
+        x = ga if gb is None else max(ga, gb)  # None if column empty
+        two_row = ga is not None and gb is not None
+        if two_row:
+            rip.append((bit_limbs(ga), bit_limbs(gb)))          # g = a*b
+        if x is None:
+            carry = None
+            continue
         if carry is not None:
-            rip.append((gf2.limbs_for(m), bit_limbs(carry)))    # m*c (m exact)
-            carry = max(g, m + carry)
+            rip.append((bit_limbs(x), bit_limbs(carry)))        # x*c
+            t = x + carry
+            carry = t if not two_row else max(ga + gb, t)
         else:
-            carry = g
+            carry = (ga + gb) if two_row else None
     sol["ripple"] = group_sol(rip)
 
     # ---- measured per stage -------------------------------------------

@@ -18,10 +18,11 @@ vectorized TPU-first:
   tracking.
 
 Degree-class math: a fresh ciphered bit has degree bound ``B0 = d + dp``;
-AND adds bounds.  The adder's carry bound grows by ``3*B0`` per bit
-position, so lane ``i`` of a sum has bound ``<= 3*i*B0`` - this drives the
-static limb shapes and is why "decipher after add" costs more than fresh
-decipher (reference benches/u32.rs:44-49).
+AND adds bounds.  The adder's carry bound grows by ``B0`` per bit
+position (majority x-form, round 5; the reference-expansion m-form grows
+by ``3*B0``), so lane ``i`` of a sum has bound ``<= (i+1)*B0`` - this
+drives the static limb shapes and is why "decipher after add" costs more
+than fresh decipher (reference benches/u32.rs:44-49).
 """
 
 from __future__ import annotations
@@ -126,9 +127,10 @@ def add_lanes(
 ) -> list[CipheredBit]:
     """Wrap-around ripple-carry sum of equal-length lane lists.
 
-    Per-bit recurrence (common.rs:43-53):
-      ``s_i = a_i ^ b_i ^ c``;
-      ``t = (a_i ^ b_i) & c``; ``c' = t ^ (a_i & b_i & (t ^ 1))``.
+    Boolean-equal to the reference's per-bit recurrence (common.rs:43-53)
+    via the majority x-form ``c' = g ^ x*c`` with ``x = a ^ b``,
+    ``g = a & b`` - see :func:`add` for the identity and why it beats
+    the reference-expansion ``m``-form on degree growth and work.
     The final carry is dropped (wrapping semantics, common.rs:47-49).
     ``carry_in`` seeds the chain (default: trivial zero) - with the
     one-complemented second operand and ``carry_in = one`` this computes
@@ -137,59 +139,65 @@ def add_lanes(
     n = min(len(a), len(b))
     xs = [a[i].xor(b[i]) for i in range(n)]
     gs = [a[i].and_(b[i]) for i in range(n)]
-    # c' = g ^ m*c with m = x*(g^1): polynomial-identical to the reference
-    # recurrence but with one multiply on the sequential path (see add()).
-    ms = [xs[i].and_(gs[i].not_()) for i in range(n)]
     carry: CipheredBit | None = carry_in
     out: list[CipheredBit] = []
     for i in range(n):
         out.append(xs[i] if carry is None else xs[i].xor(carry))
         if i + 1 >= n:
             break
-        # c' = g ^ m*c; with no carry yet, c' = g exactly (m * zero = 0)
-        carry = gs[i] if carry is None else gs[i].xor(ms[i].and_(carry))
+        # c' = g ^ x*c; with no carry yet, c' = g exactly (x * zero = 0)
+        carry = gs[i] if carry is None else gs[i].xor(xs[i].and_(carry))
     return out
 
 
 def add(a: Ciphered, b: Ciphered, carry_in: CipheredBit | None = None) -> Ciphered:
     """Homomorphic addition; output length = ``len(a)`` (common.rs:58-64).
 
-    Produces polynomials IDENTICAL to the reference's per-bit recurrence
-    ``c' = t ^ (g & (t ^ 1))`` with ``t = x & c`` (common.rs:43-53), but
-    restructured for the TPU: expanding over GF(2),
+    Computes the same boolean function as the reference's per-bit
+    recurrence ``c' = t ^ (g & (t ^ 1))`` with ``t = x & c``
+    (common.rs:43-53), via the textbook majority identity
 
-        c' = t ^ g*t ^ g = g ^ (x*(g ^ 1)) * c = g ^ m*c,
+        c' = a*b ^ (a ^ b)*c = g ^ x*c,
 
-    where ``m_i = x_i * (g_i ^ 1)`` depends only on the inputs.  All
-    ``x_i``, ``g_i``, ``m_i`` lanes are computed as three whole-tensor
-    batched ops up front; the carry chain ``c' = g ^ m*c`` is then an
-    affine GF(2)[X] recurrence evaluated as a ripple - one carry-less
-    multiply per bit position, where step ``i`` multiplies the SMALL
-    fixed-degree ``m_i`` by the growing carry (work ~ i*L0^2 words), so
-    total chain work is ~ n^2/2 * L0^2.
+    an affine GF(2)[X] recurrence whose multiplier coefficient is the
+    ALREADY-COMPUTED sum lane ``x = a ^ b``.  The reference's form
+    expands to ``c' = g ^ m*c`` with ``m = x*(g^1)`` - boolean-equal
+    (the two differ by the polynomial ``x*g*c``, which decrypts to
+    ``(a^b)&(a&b)&c = 0``) but with ``deg m = max(da,db) + da + db``:
+    a ~3x larger chain coefficient AND ~3x faster carry-degree growth.
+    The x-form (round 5) cuts the sequential chain's clmul work ~9x,
+    drops the whole-tensor ``m`` precompute multiply entirely, and
+    tightens every downstream noise bound.  models/noise.py replays
+    this exact recurrence, so the checked API's envelope follows the
+    SHIPPED circuit; the reference's published ``MIN_D_OVER_DELTA``
+    constants survive as documentation only (models/numbers.py).
+
+    Chain shape: step ``i`` multiplies the SMALL fixed-degree ``x_i``
+    by the growing carry (carry degree grows by ``deg x`` per
+    position), so total chain work is ~ n^2/2 * L0^2 words.
 
     A blocked parallel-prefix evaluation (:func:`_affine_carry_scan`,
     enable with ``HOMOMORPH_TPU_CARRY_SCAN=1``) cuts sequential device
     stages ~3x and is polynomial-identical (the ring is commutative /
     associative), but composing affine maps squares operand degrees:
-    block summaries reach ``K*deg(m)`` and the batched fill multiplies
+    block summaries reach ``K*deg(x)`` and the batched fill multiplies
     every position at the worst-case bound - measured ~9x MORE device
-    time at production batch sizes on TPU v5e, so the ripple is the
-    default; the scan remains available for small-batch latency-bound
-    regimes.
+    time at production batch sizes on TPU v5e (m-form; the x-form
+    shrinks its constant too but not the squaring), so the ripple is
+    the default; the scan remains available for small-batch
+    latency-bound regimes.
     """
     a, b = a.densify(), b.densify()
     x_all = gate_xor(a, b)
     g_all = gate_and(a, b)
-    # m = x * (g ^ 1), lane-parallel (batched over all bit positions).
-    # EXACT width, not bucketed: m is the carry chain's hot small operand
-    # and the Pallas kernel's pass count is (Lb+1) - padding 25 -> 32
-    # limbs at the headline config costs +27% VPU work on every one of the
-    # n-1 sequential steps (profiled; PERF.md round-3 adder section).
-    m_limbs = gf2k.clmul(x_all.limbs, gf2.xor_const_bit(g_all.limbs, 1))
-    m_bound = x_all.bound + g_all.bound
-    m_noise = x_all.noise + g_all.noise
-    m_limbs = gf2.fit_limbs(m_limbs, gf2.limbs_for(m_bound))
+    # The chain coefficient is x = a ^ b itself - no precompute multiply.
+    # EXACT width, not bucketed: x is the carry chain's hot small operand
+    # and the Pallas kernel's pass count is (Lb+1) - see the round-3
+    # adder section of PERF.md for why exactness on the small operand is
+    # free (same tensor at every step, zero extra kernel shapes).
+    x_limbs = gf2.fit_limbs(x_all.limbs, gf2.limbs_for(x_all.bound))
+    x_bound = x_all.bound
+    x_noise = x_all.noise
 
     n = len(a)
     carry: CipheredBit | None = carry_in
@@ -197,11 +205,11 @@ def add(a: Ciphered, b: Ciphered, carry_in: CipheredBit | None = None) -> Cipher
         carries = _affine_carry_scan(
             g_all.limbs[..., : n - 1, :],
             g_all.bound,
-            m_limbs[..., : n - 1, :],
-            m_bound,
+            x_limbs[..., : n - 1, :],
+            x_bound,
             carry if carry is not None else CipheredBit.zero(a.batch_shape),
             g_noise=g_all.noise,
-            m_noise=m_noise,
+            m_noise=x_noise,
         )
         out = [x_all[i].xor(c) for i, c in enumerate(carries)]
         return Ciphered.new_from_raw(out, a.desc)
@@ -214,19 +222,19 @@ def add(a: Ciphered, b: Ciphered, carry_in: CipheredBit | None = None) -> Cipher
         if i + 1 >= n:
             break
         if carry is None:
-            # first step: c' = g exactly (m * zero = 0) - one fewer
+            # first step: c' = g exactly (x * zero = 0) - one fewer
             # sequential clmul and the exact tracked noise
             carry = gs[i]
             continue
-        # c' = g ^ m*c.  The carry stays degree-class bucketed (fully
+        # c' = g ^ x*c.  The carry stays degree-class bucketed (fully
         # exact widths would give ~31 distinct Mosaic kernel shapes per
         # chain - measured minutes of one-time compile on this host for a
-        # ~7-14% row-extent saving); the m operand above is exact because
-        # it is the same 25-limb tensor at EVERY step, so exactness there
-        # costs zero extra kernels and saves 27% of the passes.
-        prod = gf2k.clmul(m_limbs[..., i, :], carry.limbs)
-        nb = max(g_all.bound, m_bound + carry.bound)
-        nn = max(g_all.noise, m_noise + carry.noise)
+        # ~7-14% row-extent saving); the x operand above is exact because
+        # it is the same small tensor at EVERY step, so exactness there
+        # costs zero extra kernels and saves passes.
+        prod = gf2k.clmul(x_limbs[..., i, :], carry.limbs)
+        nb = max(g_all.bound, x_bound + carry.bound)
+        nn = max(g_all.noise, x_noise + carry.noise)
         Lc = gf2.bucket(gf2.limbs_for(nb))
         carry = CipheredBit(
             gf2.xor(gf2.fit_limbs(prod, Lc), gs[i].limbs), nb, noise=nn
@@ -376,23 +384,22 @@ def sub(a: Ciphered, b: Ciphered) -> Ciphered:
 def _adder_carry_out(a: Ciphered, b: Ciphered, carry: CipheredBit) -> CipheredBit:
     """Final carry out of the full ``len(a)``-bit ripple chain.
 
-    Same ``c' = g ^ m*c`` recurrence as :func:`add`, run through ALL n
+    Same ``c' = g ^ x*c`` recurrence as :func:`add`, run through ALL n
     positions (``add`` drops the last update for wrapping semantics).
     The comparison circuits used this (``a < b = NOT carry_out(a + ~b + 1)``)
     before the tree comparator (:func:`_lt_tree`) replaced it with a
-    log-depth, 3x-lower-noise circuit; kept as the independent semantic
+    log-depth, lower-noise circuit; kept as the independent semantic
     oracle the tree is tested against (tests/test_round3.py)."""
     x_all = gate_xor(a, b)
     g_all = gate_and(a, b)
-    m_limbs = gf2k.clmul(x_all.limbs, gf2.xor_const_bit(g_all.limbs, 1))
-    m_bound = x_all.bound + g_all.bound
-    m_noise = x_all.noise + g_all.noise
-    # exact-width m, bucketed carry - see add() for the rationale
-    m_limbs = gf2.fit_limbs(m_limbs, gf2.limbs_for(m_bound))
+    # exact-width x, bucketed carry - see add() for the rationale
+    x_limbs = gf2.fit_limbs(x_all.limbs, gf2.limbs_for(x_all.bound))
+    x_bound = x_all.bound
+    x_noise = x_all.noise
     for i in range(len(a)):
-        prod = gf2k.clmul(m_limbs[..., i, :], carry.limbs)
-        nb = max(g_all.bound, m_bound + carry.bound)
-        nn = max(g_all.noise, m_noise + carry.noise)
+        prod = gf2k.clmul(x_limbs[..., i, :], carry.limbs)
+        nb = max(g_all.bound, x_bound + carry.bound)
+        nn = max(g_all.noise, x_noise + carry.noise)
         Lc = gf2.bucket(gf2.limbs_for(nb))
         carry = CipheredBit(
             gf2.xor(gf2.fit_limbs(prod, Lc), g_all[i].limbs), nb, noise=nn
@@ -841,40 +848,72 @@ def _ripple_add_rows(
 ) -> list[CipheredBit]:
     """Wrapping ripple-carry sum of two per-lane-bounded rows.
 
-    Same affine recurrence as :func:`add` (``c' = g ^ m*c`` with
-    ``m = x*(g^1)``), but lanes carry heterogeneous exact bounds (tree
-    levels leave low columns far below high ones), so the ``g``/``m``
-    precomputes batch through :func:`_batched_clmul_pairs` instead of one
-    uniform-width tensor.  ``None`` lanes are trivial zeros.
+    Same majority recurrence as :func:`add` (``c' = g ^ x*c`` with the
+    sum lane ``x = a ^ b`` as the chain coefficient - round 5; see
+    :func:`add` for why this beats the reference-expansion ``m``-form
+    ~9x on chain work and noise), but lanes carry heterogeneous exact
+    bounds (tree levels leave low columns far below high ones), so the
+    ``g`` precomputes batch through :func:`_batched_clmul_pairs` instead
+    of one uniform-width tensor.
+
+    ``None`` lanes are trivial zeros and are PRUNED exactly: a
+    single-row column has ``g = a*0 = 0`` (no product launched, no
+    ``max(g, .)`` in the carry bound) and its chain step is the bare
+    multiply ``c' = x*c``; an empty column zeroes the carry outright.
+    Roughly half the multiplier plan's final columns are single-row, so
+    this prunes both work and the noise replay's bound
+    (models/noise.py::_replay_csa mirrors the same rules).
     """
     n = len(A)
     zero = CipheredBit.zero(batch)
-    a = [x if x is not None else zero for x in A]
-    b = [x if x is not None else zero for x in B]
-    xs = [a[i].xor(b[i]) for i in range(n)]
-    gp = _batched_clmul_pairs([(a[i], b[i], i) for i in range(n - 1)])
-    gs = {i: _fit_bit(gp[i]) for i in range(n - 1)}
-    mp = _batched_clmul_pairs(
-        [(xs[i], gs[i].not_(), i) for i in range(n - 1)]
-    )
-    # m lanes exact-width (the chain's hot small operand - see add())
-    ms = {i: _fit_bit(mp[i], bucketed=False) for i in range(n - 1)}
+    xs: list[CipheredBit | None] = []
+    gpairs: list[tuple[CipheredBit, CipheredBit, object]] = []
+    for i in range(n):
+        a_i, b_i = A[i], B[i]
+        if a_i is None and b_i is not None:
+            a_i, b_i = b_i, a_i
+        if a_i is None:
+            xs.append(None)
+        elif b_i is None:
+            xs.append(a_i)
+        else:
+            xs.append(a_i.xor(b_i))
+            if i + 1 < n:
+                gpairs.append((a_i, b_i, i))
+    gp = _batched_clmul_pairs(gpairs)
+    gs = {i: _fit_bit(p) for i, p in gp.items()}  # two-row columns only
     out: list[CipheredBit] = []
     carry: CipheredBit | None = None
     for i in range(n):
-        out.append(xs[i] if carry is None else xs[i].xor(carry))
+        x_i = xs[i]
+        if x_i is None:
+            out.append(carry if carry is not None else zero)
+        else:
+            out.append(x_i if carry is None else x_i.xor(carry))
         if i + 1 >= n:
             break
-        if carry is None:
-            carry = gs[i]
+        if x_i is None:
+            # empty column: c' = g ^ x*c = 0 (carry cannot propagate)
+            carry = None
+        elif carry is None:
+            carry = gs.get(i)  # c' = g (None for single-row columns)
         else:
-            prod = gf2k.clmul(ms[i].limbs, carry.limbs)
-            nb = max(gs[i].bound, ms[i].bound + carry.bound)
-            nn = max(gs[i].noise, ms[i].noise + carry.noise)
-            Lc = gf2.bucket(gf2.limbs_for(nb))
-            carry = CipheredBit(
-                gf2.xor(gf2.fit_limbs(prod, Lc), gs[i].limbs), nb, noise=nn
-            )
+            prod = gf2k.clmul(x_i.limbs, carry.limbs)
+            g_i = gs.get(i)
+            if g_i is None:
+                nb = x_i.bound + carry.bound
+                nn = x_i.noise + carry.noise
+                Lc = gf2.bucket(gf2.limbs_for(nb))
+                carry = CipheredBit(gf2.fit_limbs(prod, Lc), nb, noise=nn)
+            else:
+                nb = max(g_i.bound, x_i.bound + carry.bound)
+                nn = max(g_i.noise, x_i.noise + carry.noise)
+                Lc = gf2.bucket(gf2.limbs_for(nb))
+                carry = CipheredBit(
+                    gf2.xor(gf2.fit_limbs(prod, Lc), g_i.limbs),
+                    nb,
+                    noise=nn,
+                )
     return out
 
 
@@ -979,13 +1018,13 @@ def _pp_tensor(a: Ciphered, b: Ciphered) -> list[list[CipheredBit]]:
 def mul_unsigned(a: Ciphered, b: Ciphered) -> Ciphered:
     """Wrapping unsigned product - carry-save tree default.
 
-    At ``TREE_MIN_WIDTH`` (8) and above: the Dadda-style tree
+    At ``TREE_MIN_WIDTH`` (4) and above: the Dadda-style tree
     (models/csaplan.py) - ``O(log n)`` batched compressor levels + one
-    two-row ripple add, ~2.7x less clmul work than the reference column
-    accumulation at u8 and polynomial (vs exponential) noise growth, so
+    two-row ripple add, far less clmul work than the reference column
+    accumulation and polynomial (vs exponential) noise growth, so
     u16..u64 products clear the checked API at representable ``d``
     (models/noise.py::mul_noise_degree).  Below the crossover the
-    reference circuit is tighter on noise and runs instead
+    bounds tie and the reference circuit runs instead
     (:func:`mul_unsigned_ref`).
     """
     n = len(a)

@@ -20,8 +20,9 @@ where needed to break single-column drip, 2:2 compressors (half adders):
 All compressors in a level are independent, so a level executes as ONE
 batched carry-less multiply on TPU; ``O(log n)`` levels reduce the matrix
 to two rows, finished by one ripple-carry add.  Both the noise degree and
-the total clmul work collapse relative to the reference circuit (u8: 148
-vs 152 noise and ~2.7x less limb-pair work; u32: 5,872 vs 4.4e8 noise).
+the total clmul work collapse relative to the reference circuit (with the
+round-5 majority-form ripple - u8: 64 vs 152 noise; u32: 2,384 vs 4.4e8
+noise - and far less limb-pair work).
 
 The plan is STATIC - a pure function of the width ``n`` - so it is
 computed once on the host and shared verbatim by the circuit executor
@@ -39,12 +40,15 @@ from typing import NamedTuple
 __all__ = ["CsaPlan", "csa_plan", "TREE_MIN_WIDTH"]
 
 #: Width at which the carry-save tree overtakes the reference column
-#: accumulation on worst-case noise degree (exact replays: n=7 is 84 vs
-#: 96 in the reference's favor, n=8 is 152 vs 148 in the tree's).  Both
-#: the circuit (models/circuits.py) and the noise bounds (models/noise.py)
-#: dispatch on this same constant, so the published requirement always
-#: describes the executed circuit.
-TREE_MIN_WIDTH = 8
+#: accumulation on worst-case noise degree.  With the round-5
+#: majority-form final ripple (circuits.add) the tree is never worse:
+#: exact replays at delta=1 tie at n=2-3 (4 vs 4, 8 vs 8) and the tree
+#: strictly wins from n=4 (12 vs 16; n=8: 64 vs 152), so the reference
+#: accumulation is kept only below width 4 (round 4's m-form ripple put
+#: the crossover at 8).  Both the circuit (models/circuits.py) and the
+#: noise bounds (models/noise.py) dispatch on this same constant, so the
+#: published requirement always describes the executed circuit.
+TREE_MIN_WIDTH = 4
 
 # Normalized fresh-noise degree of one partial product: two fresh factors
 # of degree 1 unit each.  All planned degrees are exact multiples of the

@@ -68,18 +68,17 @@ def add_noise_seeded(
     """Ripple-carry adder replay on OPERAND noise seeds ``na``/``nb``
     (normalized delta=1 units - cipher.FRESH_NOISE for fresh operands).
 
-    Mirrors the recurrence ``c' = g ^ m*c`` with ``m = x*(g^1)``:
-    deg x = max(na, nb), deg g = na + nb, deg m = x + g,
-    deg c_{i+1} = max(g, m + deg c_i).  ``c0`` seeds the carry chain
+    Mirrors the majority recurrence ``c' = g ^ x*c`` (circuits.add,
+    round 5): deg x = max(na, nb), deg g = na + nb,
+    deg c_{i+1} = max(g, x + deg c_i).  ``c0`` seeds the carry chain
     (``None`` = trivial zero).  This is what the checked API evaluates
     per operand pair, so the envelope stays sound under COMPOSITION."""
     x = max(na, nb)
     g = na + nb
-    m = x + g
     c = c0
     out = max(x, c or 0)
     for _ in range(n - 1):
-        c = g if c is None else max(g, m + c)
+        c = g if c is None else max(g, x + c)
         out = max(out, x, c)
     return out
 
@@ -109,18 +108,19 @@ def mul_noise_degree(n: int, delta: int, signed: bool = False) -> int:
     ========  ============  ====================
     width     tree (this)   reference circuit
     ========  ============  ====================
-    u8        148           152
-    u16       1,012         19,348
-    u32       5,872         437,300,308
-    u64       33,376        3.9e17
+    u8        64            152
+    u16       416           19,348
+    u32       2,384         437,300,308
+    u64       13,372        3.9e17
     ========  ============  ====================
 
-    (values at delta=1), making u16..u64 products reachable through the
-    checked API at representable ``d``.
+    (values at delta=1, round-5 majority-form ripple; round 4's m-form
+    ripple gave 148/1,012/5,872/33,376), making u16..u64 products
+    reachable through the checked API at representable ``d``.
 
-    Below ``TREE_MIN_WIDTH`` (= 8) the reference accumulation is tighter
-    (n=4: 16 vs 24) and the circuit dispatches to it; this function
-    returns the bound of whichever circuit actually runs.
+    Below ``TREE_MIN_WIDTH`` (= 4) the bounds tie and the reference
+    accumulation runs; this function returns the bound of whichever
+    circuit actually runs.
     """
     D0 = fresh_noise_degree(delta)
     return mul_noise_seeded(n, D0, D0, signed)
@@ -161,19 +161,30 @@ def _replay_csa(plan, deg: dict) -> int:
                 carry = sum(sorted((dx, dy, dz))[-2:])
             if op.carry is not None:
                 deg[op.carry] = carry
-    # final ripple add of the two remaining rows (circuits.add recurrence
-    # c' = g ^ m*c with m = x*(g^1); the last carry is dropped - wrapping)
-    A = [deg[c[0]] if len(c) > 0 else 0 for c in plan.final_cols]
-    B = [deg[c[1]] if len(c) > 1 else 0 for c in plan.final_cols]
+    # final ripple add of the two remaining rows (circuits._ripple_add_rows
+    # majority recurrence c' = g ^ x*c with x = a ^ b; the last carry is
+    # dropped - wrapping).  None-aware exactly like the circuit: a
+    # single-row column has g = a*0 = 0 (no max(g, .) term, chain step is
+    # the bare x*c) and an empty column zeroes the carry outright.
+    A = [deg[c[0]] if len(c) > 0 else None for c in plan.final_cols]
+    B = [deg[c[1]] if len(c) > 1 else None for c in plan.final_cols]
     worst = 0
     carry: int | None = None
     for i in range(n):
         a, b = A[i], B[i]
-        worst = max(worst, a, b, carry or 0)  # out_i = a ^ b ^ c_i
+        if a is None and b is not None:
+            a, b = b, a
+        x = a if b is None else max(a, b)  # None when both rows empty
+        worst = max(worst, x or 0, carry or 0)  # out_i = x_i ^ c_i
         if i + 1 < n:
-            g = a + b
-            m = max(a, b) + (a + b)
-            carry = g if carry is None else max(g, m + carry)
+            g = None if (a is None or b is None) else a + b
+            if x is None:
+                carry = None
+            elif carry is None:
+                carry = g
+            else:
+                t = x + carry
+                carry = t if g is None else max(g, t)
     return worst
 
 
@@ -217,15 +228,7 @@ def chained_sum_noise_degree(n: int, delta: int, k: int) -> int:
     D0 = fresh_noise_degree(delta)
     acc = D0  # uniform per-lane worst bound of the accumulator
     for _ in range(k - 1):
-        x = max(acc, D0)
-        g = acc + D0
-        m = x + g
-        c: int | None = None
-        worst = x
-        for _i in range(n - 1):
-            c = g if c is None else max(g, m + c)
-            worst = max(worst, x, c)
-        acc = worst
+        acc = add_noise_seeded(n, acc, D0)
     return acc
 
 
@@ -343,14 +346,14 @@ def div_noise_degree(n: int, delta: int) -> int:
     ========  =====================================
     width     required d/delta (replay, delta=1)
     ========  =====================================
-    4         4,121
-    8         2,101,377,441
-    16        ~2.3e23
+    4         2,287
+    8         466,937,539
+    16        ~8.0e21
     ========  =====================================
 
     ``d`` is a u16 (reference src/lib.rs Parameters), so u8 division
-    exceeds the representable parameter field by five orders of
-    magnitude (and its ciphertext degree would be ~1e9 - petabyte
+    exceeds the representable parameter field by about four orders of
+    magnitude (and its ciphertext degree would be ~5e8 - petabyte
     ciphertexts - even under an S(0)=0 key where correctness holds
     beyond the envelope; NOISE.md section 6).  Documentation-grade:
     this replay exists to pin the impossibility, not to gate a circuit.
@@ -381,8 +384,7 @@ def div_noise_degree(n: int, delta: int) -> int:
             sub.append(max(x, c))
             if i + 1 < n:
                 g = r[i] + D0
-                m = x + g
-                c = max(g, m + c)
+                c = max(g, x + c)
         # conditional restore: r_i' = r_i ^ ge*(r_i ^ sub_i)
         r = [max(r[i], ge + max(r[i], sub[i])) for i in range(n)]
         worst = max(worst, ge, max(r))

@@ -193,17 +193,19 @@ class HomomorphicMultiplication(HomomorphicOperation2):
     sums.  The shipped circuit is the Dadda-style carry-save tree
     (models/csaplan.py, circuits.mul_unsigned) whose bound grows
     polynomially; the checked API validates the exact width-aware bound
-    of whichever circuit runs (the reference accumulation below width 8,
-    where it is tighter): u8 needs d/delta >= 149, u16 1,013, u32 5,873,
-    u64 33,377 - all inside the representable parameter space, so wide
-    products now clear the checked API (the reference circuit allowed
-    only u8).  Execution status (round 5): u8/u16/u32 are EXECUTED
+    of whichever circuit runs (the reference accumulation below width 4,
+    where the bounds tie): with the round-5 majority-form final ripple
+    (circuits.add) the exact bounds are u8 d/delta >= 65, u16 417,
+    u32 2,385, u64 13,373 - all inside the representable parameter
+    space, so wide products clear the checked API (the reference circuit
+    allowed only u8).  Round-4 bounds with the reference-expansion
+    ripple were 149/1,013/5,873/33,377; MUL32_r05.json executed u32 at
+    that older, looser envelope (d=5888), which remains valid - the new
+    bound strictly widens it.  Execution status: u8/u16/u32 EXECUTED
     end-to-end on chip - encrypt, checked gate, tree circuit, decrypt,
-    assert (u32 at Parameters(5888,128,1,128): 8 random pairs, product
-    786,432 limbs/lane, MUL32_r05.json); u64 feasibility arithmetic in
-    NOISE.md §4.  Beyond-envelope parameters remain available via
-    ``unsafe_apply`` (where correctness additionally requires a secret
-    key with S(0) = 0 - see NOISE.md)."""
+    assert; u64 feasibility arithmetic in NOISE.md §4.  Beyond-envelope
+    parameters remain available via ``unsafe_apply`` (where correctness
+    additionally requires a secret key with S(0) = 0 - see NOISE.md)."""
 
     MIN_D_OVER_DELTA = 64
 

@@ -189,7 +189,7 @@ def _check_circuits(failures: list[str], log, with_mul: bool) -> None:
     rng = np.random.default_rng(21)
     B = 128  # fills the Pallas lane axis inside the circuit clmuls
 
-    # add: u8 requirement is 41 (models/noise.py) <= d/delta = 64
+    # add: u8 requirement is 17 (models/noise.py) <= d/delta = 64
     ctx = Context(Parameters(64, 16, 1, 16), encrypt_seed=11)
     ctx.generate_secret_key()
     ctx.generate_public_key()
@@ -213,7 +213,8 @@ def _check_circuits(failures: list[str], log, with_mul: bool) -> None:
 
     if not with_mul:
         return
-    # mul: u8 exact requirement is 149 (tree circuit, models/noise.py)
+    # mul: u8 exact requirement is 65 (tree circuit + round-5 majority
+    # ripple, models/noise.py)
     # <= d/delta = 160
     mctx = Context(Parameters(160, 16, 1, 16), encrypt_seed=13)
     mctx.generate_secret_key()

@@ -1,10 +1,14 @@
 """Blocked parallel-prefix carry scan vs the ripple recurrence.
 
-The adder's carry chain ``c' = g ^ m*c`` is an affine recurrence over the
-commutative ring GF(2)[X]; :func:`homomorph_tpu.models.circuits._affine_carry_scan`
-regroups its evaluation (blocked Hillis-Steele prefix scan), which must give
-POLYNOMIAL-IDENTICAL ciphertexts to the lane-by-lane ripple (and therefore to
-the reference's per-bit recurrence, src/impls/numbers/common.rs:43-53).
+The adder's carry chain ``c' = g ^ x*c`` (round-5 majority form) is an
+affine recurrence over the commutative ring GF(2)[X];
+:func:`homomorph_tpu.models.circuits._affine_carry_scan` regroups its
+evaluation (blocked Hillis-Steele prefix scan), which must give
+POLYNOMIAL-IDENTICAL ciphertexts to the lane-by-lane ripple.  The
+reference's per-bit recurrence (src/impls/numbers/common.rs:43-53) is
+boolean-equal but a different polynomial (differs by ``x*g*c``); it is
+compared by decrypted value and kept as the scan-mechanism oracle in
+test_scan_block_boundary_sizes (which feeds the scan the m-form maps).
 """
 
 import numpy as np
@@ -71,9 +75,16 @@ class TestScanAdder:
         monkeypatch.setattr(circuits, "_CARRY_SCAN", False)
         ripple = circuits.add(a, b)  # default ripple path
         assert _trim_eq(np.asarray(scan.limbs), np.asarray(ripple.limbs))
-        # both must equal the reference recurrence evaluated lane-by-lane
+        # Round 5: add() uses the majority x-form c' = g ^ x*c, which is
+        # boolean-equal but NOT polynomial-identical to the reference
+        # recurrence (they differ by x*g*c, a polynomial that decrypts
+        # to 0) - so compare the reference-form evaluation by DECRYPTED
+        # value, not by bytes.  The polynomial-identity claim above
+        # (scan == ripple) is the one that must stay exact.
         manual = hm.Ciphered.new_from_raw(_ripple_carries(a, b), hm.U16)
-        assert _trim_eq(np.asarray(ripple.limbs), np.asarray(manual.limbs))
+        assert list(ctx.decrypt(manual)) == list(ctx.decrypt(ripple)) == [
+            3000, 0
+        ]
 
     def test_u16_sub_with_carry_in(self, monkeypatch):
         # sub routes through add(carry_in=one): scan path with nonzero c_0.

@@ -56,19 +56,22 @@ class TestPlanStructure:
     def test_noise_bound_values(self):
         # exact replays of the shipped circuit (snapshot: a silent change
         # in the plan or replay shows up here first)
-        assert noise.mul_noise_degree(8, 1) == 148
-        assert noise.mul_noise_degree(16, 1) == 1012
-        assert noise.mul_noise_degree(32, 1) == 5872
-        assert noise.mul_noise_degree(64, 1) == 33376
+        assert noise.mul_noise_degree(8, 1) == 64
+        assert noise.mul_noise_degree(16, 1) == 416
+        assert noise.mul_noise_degree(32, 1) == 2384
+        assert noise.mul_noise_degree(64, 1) == 13372
         assert noise.mul_ref_noise_degree(8, 1) == 152
         assert noise.mul_ref_noise_degree(16, 1) == 19348
         # below the crossover the circuit (and so the bound) is the
-        # reference accumulation
-        assert TREE_MIN_WIDTH == 8
+        # reference accumulation; with the round-5 majority ripple the
+        # tree is never worse, so the crossover moved 8 -> 4 (n=2/3 tie)
+        assert TREE_MIN_WIDTH == 4
         for w in range(1, TREE_MIN_WIDTH):
             assert noise.mul_noise_degree(w, 1) == noise.mul_ref_noise_degree(w, 1)
+        # at the old crossover the tree now strictly wins
+        assert noise.mul_noise_degree(4, 1) == 12 < noise.mul_ref_noise_degree(4, 1)
         # delta scaling: every planned degree is a multiple of delta+1
-        assert noise.mul_noise_degree(8, 3) == 148 * 2
+        assert noise.mul_noise_degree(8, 3) == 64 * 2
 
 
 class TestTreeVsReferenceOracle:
@@ -129,19 +132,20 @@ class TestRequirements:
                 return self.n
 
         req = HomomorphicMultiplication.requirement_for
-        assert req(Lanes(8), Lanes(8)) == 149
+        assert req(Lanes(8), Lanes(8)) == 65
         # the headline capability unlock: u16/u32/u64 products now clear
         # the checked API at representable d (the reference circuit needed
-        # 19,349 / 4.4e8 / 3.9e17)
-        assert req(Lanes(16), Lanes(16)) == 1013
-        assert req(Lanes(32), Lanes(32)) == 5873
-        assert req(Lanes(64), Lanes(64)) == 33377
+        # 19,349 / 4.4e8 / 3.9e17; round 4's m-form ripple needed
+        # 149 / 1,013 / 5,873 / 33,377)
+        assert req(Lanes(16), Lanes(16)) == 417
+        assert req(Lanes(32), Lanes(32)) == 2385
+        assert req(Lanes(64), Lanes(64)) == 13373
         assert req(Lanes(64), Lanes(64)) < 65536  # fits u16 d
 
     def test_u16_mul_accepted_at_sound_params(self):
-        # validation-only: the execution at d=1013 is exercised by the
-        # slow suite; here we check the gate opens exactly at the bound
-        ctx = hm.Context(hm.Parameters(1013, 1, 1, 2))
+        # validation-only: execution is exercised by the slow suite;
+        # here we check the gate opens exactly at the bound
+        ctx = hm.Context(hm.Parameters(417, 1, 1, 2))
         t = hm.Ciphered.trivial(3, hm.U16)
         # stamp FRESH noise on the trivial stand-in: round-4 noise
         # tracking correctly gives genuinely-trivial operands a LOWER
@@ -149,11 +153,11 @@ class TestRequirements:
         # what this gate-position test probes
         a = hm.Ciphered(t.limbs, t.bound, t.desc, noise=2)
         ctx.validate_operation(HomomorphicMultiplication, a, a)  # no raise
-        below = hm.Context(hm.Parameters(1012, 1, 1, 2))
+        below = hm.Context(hm.Parameters(416, 1, 1, 2))
         with pytest.raises(hm.InvalidParametersError):
             below.apply2(HomomorphicMultiplication, a, a)
         # and the trivial-operand requirement really is lower now
-        assert HomomorphicMultiplication.requirement_for(t, t) < 1013
+        assert HomomorphicMultiplication.requirement_for(t, t) < 417
 
 
 class TestSumAndPopcount:
@@ -185,7 +189,7 @@ class TestSumAndPopcount:
         ops = [ctx.encrypt(v, hm.U8) for v in (10, 20, 30)]
         assert ctx.decrypt(ctx.apply_n(HomomorphicSum, ops)) == 60
         # requirement is (width, count)-aware
-        assert HomomorphicSum.requirement_for(*ops) == 63
+        assert HomomorphicSum.requirement_for(*ops) == 27
 
     def test_sum_edge_cases(self, ctx):
         a = ctx.encrypt(41, hm.U8)
@@ -207,13 +211,13 @@ class TestSumAndPopcount:
         assert got == want
         b = ctx.encrypt(0b01101100, hm.U8)
         assert ctx.decrypt(ctx.apply1(HomomorphicPopCount, b)) == 4
-        assert HomomorphicPopCount.requirement_for(b) == 31
+        assert HomomorphicPopCount.requirement_for(b) == 17
 
     def test_sum_noise_tree_vs_chained(self):
         from homomorph_tpu.models import noise
 
-        assert noise.sum_noise_degree(8, 1, 8) == 186
-        assert noise.chained_sum_noise_degree(8, 1, 8) > 10**8
+        assert noise.sum_noise_degree(8, 1, 8) == 72
+        assert noise.chained_sum_noise_degree(8, 1, 8) > 10**6
         # k<=2 dispatches to the plain adder (both circuit and bound)
         assert noise.sum_noise_degree(8, 1, 2) == noise.add_noise_degree(8, 1)
 
@@ -252,7 +256,7 @@ class TestTreeNoiseEmpirical:
         rng = np.random.default_rng(7)
         p = circuits.mul_unsigned(self._lanes(8, rng), self._lanes(8, rng))
         got = int(np.asarray(gf2.compute_degree(p.limbs)).max())
-        assert got <= noise.mul_noise_degree(8, 1) == 148
+        assert got <= noise.mul_noise_degree(8, 1) == 64
 
     def test_u16_within_bound_and_below_reference(self):
         from homomorph_tpu.gf2 import poly as gf2
@@ -260,7 +264,7 @@ class TestTreeNoiseEmpirical:
         rng = np.random.default_rng(8)
         p = circuits.mul_unsigned(self._lanes(16, rng, batch=2), self._lanes(16, rng, batch=2))
         got = int(np.asarray(gf2.compute_degree(p.limbs)).max())
-        assert got <= noise.mul_noise_degree(16, 1) == 1012
+        assert got <= noise.mul_noise_degree(16, 1) == 416
         # the reference circuit's bound is 19,348: the tree's degrees must
         # land far under it or the redesign bought nothing
         assert got < 2000

@@ -63,7 +63,14 @@ class TestSymbolicBoundsDominate:
             p = circuits.mul_unsigned(noise_lanes(8, 1, rng), noise_lanes(8, 1, rng))
             got = int(np.asarray(gf2.compute_degree(p.limbs)).max())
             assert got <= bound
-            assert got > 64  # ...and far beyond the reference's blanket 64
+        # The round-5 tree+majority-ripple bound is exactly 64: the
+        # reference's blanket MIN_D_OVER_DELTA=64 happens to be met by
+        # THIS circuit (requirement 65 still rejects d=64*delta, the
+        # boundary case).  The reference's OWN circuit exceeds it - keep
+        # that unsoundness claim pinned on the reference accumulation:
+        assert bound == 64
+        q = circuits.mul_unsigned_ref(noise_lanes(8, 1, rng), noise_lanes(8, 1, rng))
+        assert int(np.asarray(gf2.compute_degree(q.limbs)).max()) > 64
 
     def test_compare_u8(self, rng):
         bound = noise.compare_noise_degree(8, 1)
@@ -77,8 +84,12 @@ class TestS0Dichotomy:
     reference's own beyond-envelope configs."""
 
     def _mul_correct(self, seed):
+        # d=40: genuinely beyond the round-5 envelope (u8 tree bound is
+        # now exactly 64, so the reference's old boundary config d=64
+        # became sound for THIS circuit; 40 < 64 keeps the dichotomy
+        # observable - measured product degrees run ~48-53)
         ctx = hm.Context(
-            hm.Parameters(64, 16, 1, 16), source=hm.ThreefrySource(seed)
+            hm.Parameters(40, 16, 1, 16), source=hm.ThreefrySource(seed)
         )
         ctx.generate_secret_key()
         ctx.generate_public_key()
@@ -109,19 +120,27 @@ class TestCheckedApiUsesExactBounds:
             def __len__(self):
                 return self.n
 
-        assert HomomorphicAddition.requirement_for(Lanes(8), Lanes(8)) == 41
-        assert HomomorphicAddition.requirement_for(Lanes(32), Lanes(32)) == 185
-        # 0.3.x: the carry-save tree multiplier (models/csaplan.py)
-        # replaced the reference accumulation at widths >= 8 - u8 needs
-        # 149 (was 153) and u16 drops 19,349 -> 1,013, inside the u16
-        # parameter space (the reference circuit's bounds remain
-        # available via noise.mul_ref_noise_degree)
-        assert HomomorphicMultiplication.requirement_for(Lanes(8), Lanes(8)) == 149
-        assert HomomorphicMultiplication.requirement_for(Lanes(16), Lanes(16)) == 1013
+        # round 5: the majority-form carry recurrence (c' = g ^ x*c,
+        # circuits.add) tightened every adder-derived bound ~2.4x -
+        # u8 add 41 -> 17, u32 add 185 -> 65
+        assert HomomorphicAddition.requirement_for(Lanes(8), Lanes(8)) == 17
+        assert HomomorphicAddition.requirement_for(Lanes(32), Lanes(32)) == 65
+        # the carry-save tree multiplier (models/csaplan.py) replaced the
+        # reference accumulation at widths >= TREE_MIN_WIDTH; with the
+        # round-5 ripple u8 needs 65 (reference circuit: 153) and u16
+        # drops 19,349 -> 417, well inside the u16 parameter space (the
+        # reference circuit's bounds remain available via
+        # noise.mul_ref_noise_degree)
+        assert HomomorphicMultiplication.requirement_for(Lanes(8), Lanes(8)) == 65
+        assert HomomorphicMultiplication.requirement_for(Lanes(16), Lanes(16)) == 417
 
     def test_reference_boundary_params_rejected(self):
-        """d = 64*delta passes the reference's published mul constant but
-        fails on every S(0)=1 key; the checked API now rejects it."""
+        """d = 64*delta meets the reference's published mul constant but
+        sits exactly AT the tree circuit's worst-case noise bound (64),
+        so ``deg e < d`` is not guaranteed for every key; the checked
+        API requires 65 and rejects the boundary config.  (Under the
+        reference's own circuit this config fails outright on S(0)=1
+        keys - its bound is 152.)"""
         ctx = hm.Context(
             hm.Parameters(64, 16, 1, 16), source=hm.ThreefrySource(0)
         )
@@ -146,8 +165,8 @@ class TestDivisionInfeasibility:
     HomomorphicDivision ships - the values below ARE the claim."""
 
     def test_replayed_bounds(self):
-        assert noise.div_noise_degree(4, 1) == 4_120
-        assert noise.div_noise_degree(8, 1) == 2_101_377_440
+        assert noise.div_noise_degree(4, 1) == 2_286
+        assert noise.div_noise_degree(8, 1) == 466_937_538
 
     def test_u8_exceeds_representable_parameters(self):
         # d is a u16: no valid Parameters can satisfy the u8 division
