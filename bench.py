@@ -334,8 +334,10 @@ def main() -> None:
     # The reference's column-accumulation bound is 19,348*delta at u16 -
     # beyond the u16 parameter field, so the reference cannot multiply u16
     # at any sound parameters.  The carry-save tree (models/csaplan.py)
-    # needs d/delta >= 1,013; this measures it at d=1024, delta=1 with the
-    # product decrypted and asserted on-chip (nonzero random plaintexts).
+    # with the round-5 majority ripple needs d/delta >= 417; this keeps
+    # measuring at the round-3/4 config d=1024, delta=1 (like-for-like
+    # BENCH continuity) with the product decrypted and asserted on-chip
+    # (nonzero random plaintexts).
     n_mul16 = 0 if args.quick else 512
     if n_mul16:
         wp = hm.Parameters(1024, 128, 1, 128)
