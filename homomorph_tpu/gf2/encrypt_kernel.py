@@ -227,19 +227,22 @@ def encrypt_bits_fused(
 
     # segmented pipeline: unpack + both matmuls per 32k-bit segment so the
     # intermediates stay VMEM-resident (see _ENC_SEGMENT above).  The
-    # plaintext is folded INTO the counts matmul as one extra public-key
-    # row e_0 selected by the plaintext bit: parity(count + plain) flips
-    # exactly the constant-term bit, so no elementwise op follows the
-    # pack matmul at all (round 4 had to pin a post-map xor behind an
-    # optimization_barrier - any elementwise consumer fused into the map
-    # body defeats the VMEM promotion, and the barrier'd xor still cost
-    # an extra output pass: 613 vs 623 M bit-enc/s).  bf16 counts stay
-    # exact only up to 256, so the extra row requires tau + 1 <= 256;
-    # larger tau keeps the barrier'd-xor path with f32 counts.
+    # plaintext CAN be folded INTO the counts matmul as one extra
+    # public-key row e_0 selected by the plaintext bit: parity
+    # (count + plain) flips exactly the constant-term bit, so no
+    # elementwise op follows the pack matmul at all (round 4 had to pin a
+    # post-map xor behind an optimization_barrier - any elementwise
+    # consumer fused into the map body defeats the VMEM promotion).  But
+    # the extra column is only free when it lands in the sel tile's
+    # EXISTING lane padding: at tau % 128 == 0 (the headline tau=128)
+    # tau+1 columns pad to the next 128-lane tile and the counts matmul
+    # nearly doubles - measured 412.7 vs 667.2 M bit-enc/s device-busy
+    # on the v5e (round-5 A/B), so aligned tau keeps the barrier'd-xor
+    # path.  bf16 counts additionally require tau + 1 <= 256.
     seg = _ENC_SEGMENT
     if seg and B > seg and B % seg == 0 and is_tpu_backend():
         W = selw.shape[1]
-        fold_plain = tau + 1 <= 256
+        fold_plain = (tau + 1 <= 256) and (tau % 128 != 0)
         if fold_plain:
             D = pk_bits.shape[1]
             e0 = jnp.zeros((1, D), dtype=pk_bits.dtype).at[0, 0].set(1)
