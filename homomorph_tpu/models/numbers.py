@@ -203,7 +203,9 @@ class HomomorphicMultiplication(HomomorphicOperation2):
     that older, looser envelope (d=5888), which remains valid - the new
     bound strictly widens it.  Execution status: u8/u16/u32 EXECUTED
     end-to-end on chip - encrypt, checked gate, tree circuit, decrypt,
-    assert; u64 feasibility arithmetic in NOISE.md §4.  Beyond-envelope
+    assert; u64 is replay-verified and execution-attempted (keygen +
+    checked gate ran on chip at d=13440; the eager tree crashed the
+    tunneled TPU worker - NOISE.md §4b).  Beyond-envelope
     parameters remain available via ``unsafe_apply`` (where correctness
     additionally requires a secret key with S(0) = 0 - see NOISE.md)."""
 
