@@ -14,7 +14,7 @@ HomomorphicAddition        21                ripple-carry  (common.rs:37-64)
 HomomorphicMultiplication  64 (conservative) carry-save tree (csaplan.py;
                                              reference column circuit
                                              common.rs:66-163 kept as the
-                                             oracle + below-width-8 path)
+                                             oracle + below-width-4 path)
 =========================  ================  =============================
 
 (*) The class constants are kept for reference parity only; the checked
